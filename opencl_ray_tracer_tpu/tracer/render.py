@@ -1,0 +1,97 @@
+"""Full-image rendering (pure-jnp path; jits on CPU and TPU unchanged).
+
+This is the TPU-native replacement for the reference's host driver + block
+loop (``main.cpp:229-269``): no sequential pixel blocks, no per-block camera
+re-upload — the whole image (or a row chunk) is one batched trace, and image
+tiling for multi-chip runs happens via sharding (see ``parallel/``), not a
+host loop.
+
+Pixel/viewport conventions match the kernel exactly
+(``gpu_kernel.cl:626-627``): u = (col + jitter)/W, v = (row + jitter)/H with
+row 0 at the image *bottom* (the reference writes a bottom-up BMP).  Arrays
+returned here use that bottom-up row order; io writers handle display order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..rng import SLOT_PIXEL_U, uniform4
+from ..scene import Scene, make_rays
+from .estimator import accumulate_sample, trace
+
+
+def _sample_radiance(scene: Scene, cfg_static, rows, cols, pixel_ids,
+                     sample_id, seed):
+    """Radiance of one sample for each listed pixel. rows/cols: (R,) i32."""
+    width, height, max_depth, t_min, early_stop = cfg_static
+    # One pcg4d hash per (pixel, sample) covers pixel jitter + lens sample.
+    u0, u1, u2, u3 = uniform4(seed, pixel_ids, sample_id, SLOT_PIXEL_U)
+    uu = (cols.astype(jnp.float32) + u0) / jnp.float32(width)
+    vv = (rows.astype(jnp.float32) + u1) / jnp.float32(height)
+    o, d = make_rays(scene.camera, uu, vv, u2, u3)
+    return trace(scene, o, d, pixel_ids, sample_id, seed, max_depth,
+                 t_min=t_min, early_stop=early_stop)
+
+
+def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed):
+    """Render n_rows image rows starting at row_start (traced scalar ok).
+
+    Returns (n_rows, W, 3) mean radiance.  Samples run sequentially (scan)
+    to reproduce the running-sum NaN policy and clamp-before-average
+    (gpu_kernel.cl:624-647).
+    """
+    width = cfg.width
+    rows = (row_start
+            + jax.lax.broadcasted_iota(jnp.int32, (n_rows, width), 0)
+            ).reshape(-1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_rows, width), 1).reshape(-1)
+    pixel_ids = rows * width + cols  # global ids: sharding-stable RNG
+    cfg_static = (cfg.width, cfg.height, cfg.max_depth, cfg.t_min,
+                  cfg.early_stop)
+
+    def body(acc, sample_id):
+        colour = _sample_radiance(scene, cfg_static, rows, cols, pixel_ids,
+                                  sample_id, seed)
+        return accumulate_sample(acc, colour, cfg.nan_policy,
+                                 cfg.clamp_samples), None
+
+    acc = jnp.zeros((n_rows * width, 3), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(cfg.spp, dtype=jnp.int32))
+    # Final divide by SPP (gpu_kernel.cl:647).
+    return (acc / jnp.float32(cfg.spp)).reshape(n_rows, width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_rows"))
+def _render_rows_jit(scene, cfg, row_start, n_rows, seed):
+    return render_rows(scene, cfg, row_start, n_rows, seed)
+
+
+def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:
+    """Render the full image; returns (H, W, 3) f32 radiance in [0,1],
+    row 0 = image bottom.  Row-chunked to bound peak memory."""
+    chunk = cfg.row_chunk or cfg.height
+    assert cfg.height % chunk == 0, "row_chunk must divide height"
+    out = []
+    for r0 in range(0, cfg.height, chunk):
+        out.append(_render_rows_jit(scene, cfg, jnp.int32(r0), chunk,
+                                    jnp.uint32(seed)))
+    return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)
+
+
+def render_and_grad(scene: Scene, cfg: RenderConfig, loss_fn, seed: int = 0):
+    """Differentiable render: returns (loss, grads) where grads is a Scene
+    pytree cotangent.  Forces the scan path (early_stop off) so the bounce
+    loop is reverse-differentiable."""
+    dcfg = cfg.replace(early_stop=False)
+
+    def objective(s):
+        img = render_rows(s, dcfg, jnp.int32(0), dcfg.height,
+                          jnp.uint32(seed))
+        return loss_fn(img)
+
+    return jax.value_and_grad(objective)(scene)
