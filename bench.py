@@ -1,0 +1,70 @@
+"""Headline benchmark (driver-run on real TPU hardware).
+
+Scene + config = the reference's only published numbers (README.md:24-46):
+README 5-sphere scene, 1280x720, 250 spp, max depth 50.  Baseline:
+0.38 s on the author's GPU => 6.06e8 camera samples/s (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_SAMPLES_PER_S = 1280 * 720 * 250 / 0.38  # ~6.06e8 (README.md:42-46)
+
+
+def main() -> int:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(__file__),
+                                       ".jax_cache"))
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import opencl_ray_tracer_tpu as ort
+
+    width, height, spp, depth = 1280, 720, 250, 50
+    scene = ort.readme_scene(aspect_ratio=width / height)
+    cfg = ort.RenderConfig(width=width, height=height, spp=spp,
+                           max_depth=depth)
+
+    t_compile = time.perf_counter()
+    img = ort.render(scene, cfg, seed=0)
+    jax.block_until_ready(img)
+    t_first = time.perf_counter() - t_compile
+    print(f"# first call (compile + run): {t_first:.2f} s", file=sys.stderr)
+
+    # timed runs (different seed to defeat any result caching)
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        img = ort.render(scene, cfg, seed=i + 1)
+        jax.block_until_ready(img)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    import numpy as np
+    arr = np.asarray(img)
+    assert not np.isnan(arr).any(), "NaNs in benchmark render"
+    assert arr.mean() > 0.05, "suspiciously dark benchmark render"
+
+    samples_per_s = width * height * spp / dt
+    print(f"# render: {dt:.3f} s  mean {arr.mean():.4f}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "camera_samples_per_s_fwd_1280x720x250spp_d50",
+        "value": round(samples_per_s, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,6 +20,8 @@ from .scene import (BoundingBoxes, Camera, Scene, Sky, Spheres, Triangles,
                     book_cover_scene, materials, readme_scene,
                     reference_scene, scene_from_json, scene_to_json)
 from .tracer import render, render_and_grad, render_rows
+from .tracer.soft import render_soft
+from .optimize import fit_scene
 
 __version__ = "0.1.0"
 
@@ -28,5 +30,5 @@ __all__ = [
     "Scene", "Camera", "Spheres", "Triangles", "BoundingBoxes", "Sky",
     "materials", "readme_scene", "reference_scene", "book_cover_scene",
     "scene_from_json", "scene_to_json",
-    "render", "render_rows", "render_and_grad",
+    "render", "render_rows", "render_and_grad", "render_soft", "fit_scene",
 ]

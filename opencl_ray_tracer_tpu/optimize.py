@@ -1,0 +1,125 @@
+"""Inverse rendering: recover scene parameters from a target image.
+
+This is a capability the reference renderer cannot express at all (its
+estimator lives in an OpenCL C kernel): because the whole tracer is
+differentiable jnp, scene parameters (sphere centers/radii/albedo/fuzz,
+camera pose) can be fitted to a target image by gradient descent on pixel
+loss (BASELINE.json config 5).  Multi-chip gradient reduction is handled in
+``parallel/`` (psum over the mesh); this module is the single-logical-device
+optimizer loop.
+
+Gradient regimes:
+- Material parameters (albedo/fuzz/ior/emission) and shading-dominated
+  camera params are smooth: hard-visibility gradients (the default
+  renderer) descend correctly.
+- Geometry parameters (sphere centers/radii) are dominated by *silhouette*
+  terms that hard visibility's interior-only gradients miss (they can even
+  carry the wrong net sign).  Fit geometry with ``soft=True``, which
+  renders with soft visibility (differentiable alpha compositing; see
+  tracer/soft.py) — slightly blurred forward, correct geometry gradients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .config import RenderConfig
+from .scene import Scene
+from .tracer.render import render_rows
+
+
+def _get_path(scene: Scene, path: str):
+    obj = scene
+    for part in path.split("."):
+        obj = getattr(obj, part)
+    return obj
+
+
+def _set_path(scene: Scene, path: str, value):
+    parts = path.split(".")
+
+    def rec(obj, parts):
+        if len(parts) == 1:
+            return dataclasses.replace(obj, **{parts[0]: value})
+        child = getattr(obj, parts[0])
+        return dataclasses.replace(obj, **{parts[0]: rec(child, parts[1:])})
+
+    return rec(scene, parts)
+
+
+def extract_params(scene: Scene, paths: Sequence[str]) -> dict:
+    return {p: _get_path(scene, p) for p in paths}
+
+
+def insert_params(scene: Scene, params: dict) -> Scene:
+    for p, v in params.items():
+        scene = _set_path(scene, p, v)
+    return scene
+
+
+def fit_scene(
+    target,
+    init_scene: Scene,
+    cfg: RenderConfig,
+    param_paths: Sequence[str] = ("spheres.center", "spheres.albedo"),
+    steps: int = 100,
+    learning_rate: float = 1e-2,
+    loss_fn: Callable | None = None,
+    seed: int = 0,
+    sample_new_noise: bool = True,
+    callback: Callable | None = None,
+    soft: bool = False,
+    beta: float = 80.0,
+    param_mask: dict | None = None,
+):
+    """Gradient-descent fit of the listed scene parameters to ``target``.
+
+    target: (H,W,3) radiance image (same config as cfg).
+    sample_new_noise: re-randomize the Monte Carlo seed each step (SGD over
+      the estimator noise); False = deterministic objective.
+    Returns (fitted_scene, losses list).
+    """
+    import optax  # deferred: optax creates arrays at import time, which
+    # would pin the backend before callers can select one
+
+    dcfg = cfg.replace(early_stop=False)
+    target = jnp.asarray(target, jnp.float32)
+    if loss_fn is None:
+        loss_fn = lambda img: jnp.mean((img - target) ** 2)
+
+    params = extract_params(init_scene, param_paths)
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, step_seed):
+        def objective(p):
+            scene = insert_params(init_scene, p)
+            if soft:
+                from .tracer.soft import render_soft
+                img = render_soft(scene, dcfg, step_seed, beta=beta)
+            else:
+                img = render_rows(scene, dcfg, jnp.int32(0), dcfg.height,
+                                  step_seed)
+            return loss_fn(img)
+
+        loss, grads = jax.value_and_grad(objective)(params)
+        if param_mask is not None:
+            grads = {k: g * jnp.asarray(param_mask[k], g.dtype)
+                     if k in param_mask else g for k, g in grads.items()}
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        step_seed = jnp.uint32(seed + i + 1 if sample_new_noise else seed)
+        params, opt_state, loss = step_fn(params, opt_state, step_seed)
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, losses[-1], insert_params(init_scene, params))
+    return insert_params(init_scene, params), losses

@@ -1,0 +1,113 @@
+"""Sharded rendering and training steps (shard_map over the device mesh).
+
+The TPU-native replacement for the reference's entire L2 runtime
+(``main.cpp:229-269``): image tiles and sample batches are mesh axes, the
+scene pytree is replicated (it is small — KBs to ~1 MB, like the
+reference's 12 cl::Buffers, ``main.cpp:162-173``), radiance is pmean-reduced
+over the sample axis, and scene-parameter gradients are psum-reduced over
+the whole mesh by shard_map's transpose of the replicated inputs — the
+collectives ride ICI and XLA overlaps them with the backward pass.
+
+Determinism: the counter RNG is keyed on (global pixel id, global sample
+id), so a tile-sharded render is bit-identical to the single-device render.
+Sample sharding applies the running-sum NaN policy per shard (mean of equal
+shard means == global mean; exact bitwise identity holds when spp-per-shard
+== spp, i.e. n_sample == 1) — tested in tests/test_sharding.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..scene import Scene
+from ..tracer.render import render_rows
+from .mesh import SAMPLE_AXIS, TILE_AXIS
+
+
+def _check(cfg: RenderConfig, mesh):
+    n_tile = mesh.shape[TILE_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    assert cfg.height % n_tile == 0, \
+        f"height {cfg.height} not divisible by tile axis {n_tile}"
+    assert cfg.spp % n_sample == 0, \
+        f"spp {cfg.spp} not divisible by sample axis {n_sample}"
+    return n_tile, n_sample
+
+
+def render_sharded(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0,
+                   hit_fn_factory=None):
+    """Render the full image over the mesh; returns (H,W,3) committed to a
+    row-sharded layout.  hit_fn_factory(scene) -> hit_fn optionally installs
+    a custom closest-hit (the geometry ring, parallel/ring.py)."""
+    n_tile, n_sample = _check(cfg, mesh)
+    rows_per = cfg.height // n_tile
+    spp_per = cfg.spp // n_sample
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P(TILE_AXIS, None, None),
+        check_vma=False)
+    def _render(scene):
+        ti = jax.lax.axis_index(TILE_AXIS)
+        si = jax.lax.axis_index(SAMPLE_AXIS)
+        hit_fn = hit_fn_factory(scene) if hit_fn_factory else None
+        img = render_rows(scene, cfg, ti * rows_per, rows_per,
+                          jnp.uint32(seed), sample_offset=si * spp_per,
+                          spp=spp_per, hit_fn=hit_fn)
+        # mean over the sample axis (each shard holds a disjoint global
+        # sample window of equal size).
+        return jax.lax.pmean(img, SAMPLE_AXIS)
+
+    return _render(scene)
+
+
+def render_sharded_jit(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0):
+    fn = jax.jit(lambda s: render_sharded(s, cfg, mesh, seed))
+    return fn(scene)
+
+
+def make_train_step(cfg: RenderConfig, mesh, optimizer, loss_fn,
+                    insert_params, seed: int = 0, hit_fn_factory=None):
+    """Sharded inverse-rendering train step.
+
+    insert_params(params) -> Scene.  Returns jitted
+    step(params, opt_state, target, step_seed) -> (params, opt_state, loss).
+    Scene params are replicated; their gradients are psum-reduced across the
+    mesh by the shard_map transpose automatically.
+    """
+    dcfg = cfg.replace(early_stop=False)
+
+    def step(params, opt_state, target, step_seed):
+        def objective(p):
+            scene = insert_params(p)
+            n_tile, n_sample = _check(dcfg, mesh)
+            rows_per = dcfg.height // n_tile
+            spp_per = dcfg.spp // n_sample
+
+            @functools.partial(
+                shard_map, mesh=mesh, in_specs=(P(), P()),
+                out_specs=P(TILE_AXIS, None, None), check_vma=False)
+            def _render(scene, sd):
+                ti = jax.lax.axis_index(TILE_AXIS)
+                si = jax.lax.axis_index(SAMPLE_AXIS)
+                hit_fn = hit_fn_factory(scene) if hit_fn_factory else None
+                img = render_rows(scene, dcfg, ti * rows_per, rows_per,
+                                  sd, sample_offset=si * spp_per,
+                                  spp=spp_per, hit_fn=hit_fn)
+                return jax.lax.pmean(img, SAMPLE_AXIS)
+
+            return loss_fn(_render(scene, step_seed), target)
+
+        loss, grads = jax.value_and_grad(objective)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)

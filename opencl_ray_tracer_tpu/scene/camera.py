@@ -24,7 +24,10 @@ import jax.numpy as jnp
 
 from ..rng import in_unit_disk_from_uniforms
 
-_DEG = jnp.float32(3.141592654 / 180.0)  # the reference's pi literal
+# The reference's pi literal.  Plain Python float, NOT a jnp array: a
+# module-level jnp constant materializes on whatever backend is active at
+# import time and every later lowering would fetch it from that device.
+_DEG = float(3.141592654 / 180.0)
 
 
 @dataclasses.dataclass(frozen=True)

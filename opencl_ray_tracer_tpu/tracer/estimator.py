@@ -53,14 +53,19 @@ class TraceState(NamedTuple):
 
 
 def _bounce_step(scene: Scene, t_min, pixel_ids, sample_id, seed,
-                 state: TraceState) -> TraceState:
+                 state: TraceState, first_bounce=0,
+                 hit_fn=None) -> TraceState:
     o, d, throughput, result, miss_dir, status, depth = state
     alive = status == ALIVE
 
-    h = closest_hit(scene, o, d, t_min)
+    # hit_fn hook: parallel/ring.py substitutes a ppermute geometry-ring
+    # closest-hit here (triangles sharded across chips) without touching the
+    # estimator.
+    h = hit_fn(o, d) if hit_fn is not None else closest_hit(scene, o, d,
+                                                            t_min)
 
     # 8 uniforms for this bounce from two pcg4d hashes (slot layout in rng/).
-    slot = BOUNCE_BASE + depth * 2
+    slot = BOUNCE_BASE + (depth + first_bounce) * 2
     a0, a1, a2, a3 = uniform4(seed, pixel_ids, sample_id, slot)
     b0, b1, b2, b3 = uniform4(seed, pixel_ids, sample_id, slot + 1)
     u = jnp.stack([a0, a1, a2, a3, b0, b1, b2, b3], axis=-1)
@@ -89,22 +94,31 @@ def _bounce_step(scene: Scene, t_min, pixel_ids, sample_id, seed,
 
 
 def trace(scene: Scene, o, d, pixel_ids, sample_id, seed, max_depth,
-          t_min=1e-3, early_stop=False):
+          t_min=1e-3, early_stop=False, first_bounce=0, throughput=None,
+          hit_fn=None):
     """Trace a ray batch to completion; returns per-ray radiance (R,3).
 
     early_stop=True uses lax.while_loop with an any-alive condition (forward
     only); False uses a fixed-depth lax.scan (reverse-differentiable).
+    first_bounce offsets the RNG slot numbering (used by the soft renderer,
+    which consumes bounce-0 draws itself); throughput optionally seeds the
+    path throughput (default ones).
     """
     r = o.shape[0]
     state = TraceState(
         o=o, d=d,
-        throughput=jnp.ones((r, 3), jnp.float32),
+        throughput=(jnp.ones((r, 3), jnp.float32) if throughput is None
+                    else throughput),
         result=jnp.zeros((r, 3), jnp.float32),
-        miss_dir=jnp.zeros((r, 3), jnp.float32),
+        # Nonzero init: sky_colour normalizes miss_dir, and a zero vector in
+        # the unselected jnp.where branch would put NaN into gradients.
+        miss_dir=jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (r, 3)),
         status=jnp.zeros((r,), jnp.int32),
         depth=jnp.int32(0))
 
-    step = lambda s: _bounce_step(scene, t_min, pixel_ids, sample_id, seed, s)
+    step = lambda s: _bounce_step(scene, t_min, pixel_ids, sample_id, seed,
+                                  s, first_bounce, hit_fn)
 
     if early_stop:
         state = jax.lax.while_loop(

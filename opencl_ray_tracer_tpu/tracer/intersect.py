@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from ..scene import Scene
 
 TRI_EPS = 1e-5        # gpu_kernel.cl:496
-BIG = jnp.float32(3.4e38)
+# Plain Python float (see camera.py _DEG note on module-level jnp arrays).
+BIG = 3.4e38
 
 # Static triangle tile size for the scan fold (multiple of 128 lanes).
 TRI_CHUNK = 512
@@ -71,7 +72,9 @@ def hit_spheres(o, d, center, radius, t_min):
     half_b = jnp.einsum("rsk,rk->rs", oc, d)           # (R,S)
     c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
     disc = half_b * half_b - a * c
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Tiny floor (not 0): sqrt'(0) = inf would turn the max's zero tangent
+    # into NaN gradients for every miss ray (0 * inf).
+    sqrtd = jnp.sqrt(jnp.maximum(disc, 1e-30))
     root0 = (-half_b - sqrtd) / a
     root1 = (-half_b + sqrtd) / a
     # Inclusive window: reject only if root < tMin || tMax < root
@@ -201,7 +204,12 @@ def closest_hit(scene: Scene, o, d, t_min) -> HitInfo:
         best_idx = jnp.where(upd, tri_idx, best_idx)
 
     hit = best_t < BIG
-    point = o + best_t[:, None] * d
+    # Safe-select before compute: miss lanes would otherwise produce
+    # o + BIG*d = inf, and inf/NaN in an unselected jnp.where branch leaks
+    # NaN into gradients (0 * inf).  Miss lanes' point/normal are never
+    # consumed (the estimator masks on `hit`), any finite value works.
+    t_safe = jnp.where(hit, best_t, 1.0)
+    point = o + t_safe[:, None] * d
 
     # Gather winner attributes; outward normal per kind.
     if spheres.count > 0:

@@ -26,7 +26,7 @@ from .estimator import accumulate_sample, trace
 
 
 def _sample_radiance(scene: Scene, cfg_static, rows, cols, pixel_ids,
-                     sample_id, seed):
+                     sample_id, seed, hit_fn=None):
     """Radiance of one sample for each listed pixel. rows/cols: (R,) i32."""
     width, height, max_depth, t_min, early_stop = cfg_static
     # One pcg4d hash per (pixel, sample) covers pixel jitter + lens sample.
@@ -35,17 +35,24 @@ def _sample_radiance(scene: Scene, cfg_static, rows, cols, pixel_ids,
     vv = (rows.astype(jnp.float32) + u1) / jnp.float32(height)
     o, d = make_rays(scene.camera, uu, vv, u2, u3)
     return trace(scene, o, d, pixel_ids, sample_id, seed, max_depth,
-                 t_min=t_min, early_stop=early_stop)
+                 t_min=t_min, early_stop=early_stop, hit_fn=hit_fn)
 
 
-def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed):
+def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
+                sample_offset=0, spp=None, hit_fn=None, mean=True):
     """Render n_rows image rows starting at row_start (traced scalar ok).
 
-    Returns (n_rows, W, 3) mean radiance.  Samples run sequentially (scan)
-    to reproduce the running-sum NaN policy and clamp-before-average
-    (gpu_kernel.cl:624-647).
+    Returns (n_rows, W, 3) mean radiance (or the raw radiance *sum* when
+    mean=False, for checkpoint/resume accumulation).  Samples run
+    sequentially (scan) to reproduce the running-sum NaN policy and
+    clamp-before-average (gpu_kernel.cl:624-647).
+
+    sample_offset/spp select a global sample-id window — the RNG streams are
+    keyed on the global sample id, so sample-axis sharding and resumed
+    renders draw exactly the samples a single sequential run would.
     """
     width = cfg.width
+    n_samples = cfg.spp if spp is None else spp
     rows = (row_start
             + jax.lax.broadcasted_iota(jnp.int32, (n_rows, width), 0)
             ).reshape(-1)
@@ -56,19 +63,24 @@ def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed):
 
     def body(acc, sample_id):
         colour = _sample_radiance(scene, cfg_static, rows, cols, pixel_ids,
-                                  sample_id, seed)
+                                  sample_id, seed, hit_fn)
         return accumulate_sample(acc, colour, cfg.nan_policy,
                                  cfg.clamp_samples), None
 
     acc = jnp.zeros((n_rows * width, 3), jnp.float32)
-    acc, _ = jax.lax.scan(body, acc, jnp.arange(cfg.spp, dtype=jnp.int32))
-    # Final divide by SPP (gpu_kernel.cl:647).
-    return (acc / jnp.float32(cfg.spp)).reshape(n_rows, width, 3)
+    acc, _ = jax.lax.scan(
+        body, acc,
+        sample_offset + jnp.arange(n_samples, dtype=jnp.int32))
+    if mean:
+        acc = acc / jnp.float32(n_samples)  # final divide (gpu_kernel.cl:647)
+    return acc.reshape(n_rows, width, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_rows"))
-def _render_rows_jit(scene, cfg, row_start, n_rows, seed):
-    return render_rows(scene, cfg, row_start, n_rows, seed)
+@functools.partial(jax.jit, static_argnames=("cfg", "n_rows", "mean"))
+def _render_rows_jit(cfg, n_rows, *, scene, row_start, seed,
+                     sample_offset=0, mean=True):
+    return render_rows(scene, cfg, row_start, n_rows, seed,
+                       sample_offset=sample_offset, mean=mean)
 
 
 def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:
@@ -78,8 +90,9 @@ def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:
     assert cfg.height % chunk == 0, "row_chunk must divide height"
     out = []
     for r0 in range(0, cfg.height, chunk):
-        out.append(_render_rows_jit(scene, cfg, jnp.int32(r0), chunk,
-                                    jnp.uint32(seed)))
+        out.append(_render_rows_jit(cfg, chunk, scene=scene,
+                                    row_start=jnp.int32(r0),
+                                    seed=jnp.uint32(seed)))
     return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)
 
 
@@ -94,4 +107,5 @@ def render_and_grad(scene: Scene, cfg: RenderConfig, loss_fn, seed: int = 0):
                           jnp.uint32(seed))
         return loss_fn(img)
 
-    return jax.value_and_grad(objective)(scene)
+    # allow_int: integer leaves (mat_type, box_id) get float0 cotangents.
+    return jax.value_and_grad(objective, allow_int=True)(scene)

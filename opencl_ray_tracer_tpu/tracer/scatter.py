@@ -49,8 +49,10 @@ def refract(uv, n, etai_over_etat):
     """Vec3Refract (gpu_kernel.cl:214-220)."""
     cos_theta = jnp.minimum(_dot(-uv, n), 1.0)
     r_perp = (uv + n * cos_theta[..., None]) * etai_over_etat[..., None]
-    r_par = -n * jnp.sqrt(jnp.abs(1.0 - jnp.sum(r_perp * r_perp, axis=-1))
-                          )[..., None]
+    # max(.., tiny) keeps the sqrt derivative finite at exact TIR grazing
+    # (primal change < 1e-10; NaN-safe gradients through jnp.where).
+    r_par = -n * jnp.sqrt(jnp.maximum(
+        jnp.abs(1.0 - jnp.sum(r_perp * r_perp, axis=-1)), 1e-20))[..., None]
     return r_perp + r_par
 
 
@@ -86,7 +88,8 @@ def scatter(d, normal, front_face, albedo, fuzz, ior, mat_type,
     ratio = jnp.where(front_face, 1.0 / jnp.maximum(ior, 1e-8), ior)
     unit_d = _unit(d)
     cos_theta = jnp.minimum(_dot(-unit_d, normal), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    # Tiny floor keeps sqrt' finite at exact normal incidence (cos = 1).
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-20))
     cannot_refract = ratio * sin_theta > 1.0
     choose_reflect = cannot_refract | (reflectance(cos_theta, ratio) > u[:, 5])
     diel_dir = jnp.where(choose_reflect[:, None],

@@ -1,0 +1,72 @@
+"""CLI end-to-end (the reference's executable surface, main.cpp:13)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from opencl_ray_tracer_tpu.io import read_bmp
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    return subprocess.run(
+        [sys.executable, "-m", "opencl_ray_tracer_tpu.cli", *args],
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=600)
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_info():
+    r = _run(["info"], REPO)
+    assert r.returncode == 0, r.stderr
+    assert "Device information" in r.stdout
+
+
+def test_cli_render_bmp(tmp_path):
+    out = str(tmp_path / "out.bmp")
+    r = _run(["render", "--scene", "readme", "--width", "64", "--height",
+              "36", "--spp", "2", "--max-depth", "3", "--cpu",
+              "-o", out], REPO)
+    assert r.returncode == 0, r.stderr
+    assert "camera samples/s" in r.stdout
+    img = read_bmp(out)
+    assert img.shape == (36, 64, 3)
+    assert img.mean() > 10  # not black
+
+
+def test_cli_render_json_scene_png(tmp_path):
+    scene = tmp_path / "scene.json"
+    scene.write_text("""{
+      "camera": {"look_from": [0,0,0], "look_at": [0,0,-1],
+                 "vfov_deg": 90, "aspect_ratio": 1.7777,
+                 "focus_dist": 1.0, "aperture_deg": 0},
+      "spheres": [{"center": [0,0,-2], "radius": 0.5,
+                   "albedo": [0.9,0.1,0.1], "material": "lambertian"}],
+      "sky": {"kind": "gradient"}
+    }""")
+    out = str(tmp_path / "out.png")
+    r = _run(["render", "--scene", str(scene), "--width", "64", "--height",
+              "36", "--spp", "2", "--max-depth", "3", "--cpu",
+              "-o", out], REPO)
+    assert r.returncode == 0, r.stderr
+    data = open(out, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_cli_render_with_checkpoint_and_progress(tmp_path):
+    out = str(tmp_path / "out.bmp")
+    ckpt = str(tmp_path / "ckpt.npz")
+    prog = str(tmp_path / "progress.png")
+    r = _run(["render", "--scene", "readme", "--width", "64", "--height",
+              "36", "--spp", "4", "--max-depth", "3", "--cpu",
+              "--checkpoint", ckpt, "--chunk-spp", "2",
+              "--progress-image", prog, "-o", out], REPO)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(ckpt)
+    assert os.path.exists(prog)
+    assert "Rendered 4 / 4 samples" in r.stderr

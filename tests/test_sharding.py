@@ -1,0 +1,169 @@
+"""Multi-device sharding on 8 virtual CPU devices (SURVEY.md §4):
+tile-sharded render must be BIT-IDENTICAL to single-device (counter RNG);
+sample sharding allclose; geometry ring exact; sharded grads psum correctly.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import opencl_ray_tracer_tpu as ort
+from opencl_ray_tracer_tpu import parallel as par
+from opencl_ray_tracer_tpu.scene import (BoundingBoxes, Triangles,
+                                         materials as mat)
+from opencl_ray_tracer_tpu.tracer.intersect import closest_hit
+from opencl_ray_tracer_tpu.tracer.render import render_rows
+
+CFG = ort.RenderConfig(width=32, height=16, spp=8, max_depth=4,
+                       early_stop=False)
+
+
+def _single(scene, cfg=CFG, seed=0):
+    return np.asarray(render_rows(scene, cfg, jnp.int32(0), cfg.height,
+                                  jnp.uint32(seed)))
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+def test_tile_sharded_bit_identical():
+    scene = ort.readme_scene()
+    mesh = par.make_mesh(n_tile=8, n_sample=1)
+    img = np.asarray(par.render_sharded_jit(scene, CFG, mesh, seed=0))
+    ref = _single(scene)
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_tile_x_sample_sharded_close():
+    scene = ort.readme_scene()
+    mesh = par.make_mesh(n_tile=4, n_sample=2)
+    img = np.asarray(par.render_sharded_jit(scene, CFG, mesh, seed=0))
+    ref = _single(scene)
+    # same global sample ids, different accumulation grouping -> fp-level
+    # differences only (and NaN-policy grouping, absent in this scene).
+    np.testing.assert_allclose(img, ref, atol=1e-5)
+
+
+def test_sample_only_sharding():
+    scene = ort.readme_scene()
+    mesh = par.make_mesh(n_tile=1, n_sample=8)
+    img = np.asarray(par.render_sharded_jit(scene, CFG, mesh, seed=0))
+    np.testing.assert_allclose(img, _single(scene), atol=1e-5)
+
+
+def _mesh_scene():
+    # a couple of triangles + the readme spheres
+    tv = np.array([
+        [[-1.5, -0.2, -1.6], [-0.5, -0.2, -1.6], [-1.0, 0.8, -1.6]],
+        [[0.5, -0.2, -1.4], [1.5, -0.2, -1.4], [1.0, 0.8, -1.4]],
+        [[-0.5, -0.4, -0.9], [0.5, -0.4, -0.9], [0.0, 0.4, -0.9]],
+    ], np.float32)
+    tris = Triangles.from_vertices(tv, albedo=(0.8, 0.6, 0.2), fuzz=0.2,
+                                   ior=0.0, mat_type=mat.METAL, box_id=0)
+    boxes = BoundingBoxes.single((-1.6, -0.5, -1.7), (1.6, 0.9, -0.8))
+    base = ort.readme_scene()
+    return dataclasses.replace(base, triangles=tris, boxes=boxes)
+
+
+def test_geometry_ring_matches_replicated():
+    scene = _mesh_scene()
+    mesh = par.make_mesh(n_tile=8, n_sample=1)
+    n = 8
+
+    padded = par.shard_triangles(scene.triangles, n)
+    scene_sharded = dataclasses.replace(scene, triangles=padded)
+
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    r = 64
+    o = jnp.asarray(np.zeros((r, 3), np.float32))
+    d = jnp.asarray(np.stack([rng.uniform(-1.5, 1.5, r),
+                              rng.uniform(-0.5, 1, r),
+                              -np.ones(r)], axis=1).astype(np.float32))
+
+    # shard triangles over the tile axis explicitly
+    tri_spec = jax.tree.map(lambda _: P(par.TILE_AXIS), padded)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), tri_spec), out_specs=P(), check_vma=False)
+    def ring_hit(o, d, tris_local):
+        local_scene = dataclasses.replace(scene, triangles=tris_local)
+        hit_fn = par.ring_hit_fn(local_scene, par.TILE_AXIS)
+        h = hit_fn(o, d)
+        return h
+
+    got = jax.jit(ring_hit)(o, d, padded)
+    want = closest_hit(scene, o, d, 1e-3)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    np.testing.assert_allclose(np.asarray(got.t)[np.asarray(want.hit)],
+                               np.asarray(want.t)[np.asarray(want.hit)],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.mat_type),
+                                  np.asarray(want.mat_type))
+
+
+def test_sharded_train_step_matches_single_device_grads():
+    scene = ort.readme_scene()
+    cfg = CFG
+    mesh = par.make_mesh(n_tile=8, n_sample=1)
+    target = jnp.zeros((cfg.height, cfg.width, 3))
+
+    def insert(p):
+        return dataclasses.replace(
+            scene, spheres=dataclasses.replace(scene.spheres,
+                                               albedo=p["albedo"]))
+
+    loss_fn = lambda img, tgt: jnp.mean((img - tgt) ** 2)
+
+    # single-device reference gradient
+    def obj(p):
+        img = render_rows(insert(p), cfg, jnp.int32(0), cfg.height,
+                          jnp.uint32(0))
+        return loss_fn(img, target)
+
+    params = {"albedo": scene.spheres.albedo}
+    ref_loss, ref_grad = jax.value_and_grad(obj)(params)
+
+    opt = optax.sgd(0.0)  # lr 0: step returns loss without moving params
+    step = par.make_train_step(cfg, mesh, opt, loss_fn, insert, seed=0)
+    _, _, loss = step(params, opt.init(params), target, jnp.uint32(0))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+
+    # now compare grads via one sgd step with lr 1
+    opt1 = optax.sgd(1.0)
+    step1 = par.make_train_step(cfg, mesh, opt1, loss_fn, insert, seed=0)
+    new_params, _, _ = step1(params, opt1.init(params), target, jnp.uint32(0))
+    shard_grad = np.asarray(params["albedo"] - new_params["albedo"])
+    np.testing.assert_allclose(shard_grad, np.asarray(ref_grad["albedo"]),
+                               atol=1e-7)
+
+
+def test_checkpoint_resume_identical(tmp_path):
+    scene = ort.readme_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=8, max_depth=4,
+                           nan_policy="zero")
+    p1 = str(tmp_path / "a.npz")
+    p2 = str(tmp_path / "b.npz")
+
+    full = par.render_checkpointed(scene, cfg, p1, seed=0, chunk_spp=8)
+
+    # interrupted run: 4 samples, then resume for the rest
+    par.render_checkpointed(scene, cfg.replace(spp=4), p2, seed=0,
+                            chunk_spp=2)
+    resumed = par.render_checkpointed(scene, cfg, p2, seed=0, chunk_spp=2)
+    np.testing.assert_allclose(np.asarray(resumed), np.asarray(full),
+                               atol=1e-6)
+
+
+def test_mesh_describe():
+    mesh = par.make_mesh(n_tile=4, n_sample=2)
+    s = par.describe(mesh)
+    assert "tile" in s and "4" in s
