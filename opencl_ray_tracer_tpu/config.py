@@ -32,6 +32,10 @@ class RenderConfig:
     backend: "jnp" = pure-jnp lax.scan tracer (differentiable, runs on any
       backend); "pallas" = TPU megakernel fast path (forward only);
       "auto" = pallas on TPU when available else jnp.
+    tri_backend: triangle-intersection form — "mt" = direct Moller-Trumbore
+      fold (tracer/intersect.py), "mm" = MXU matmul form
+      (tracer/mesh_accel.py), "auto" = mm when the mesh is large enough to
+      pay for the matmul.
     """
 
     width: int = 1280
@@ -43,6 +47,7 @@ class RenderConfig:
     clamp_samples: bool = True
     nan_policy: str = "running_sum"
     backend: str = "auto"
+    tri_backend: str = "auto"
     # Pixel rows per chunk for the jnp tracer (bounds peak memory).  None =
     # whole image at once.
     row_chunk: int | None = None

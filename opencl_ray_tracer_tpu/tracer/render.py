@@ -53,6 +53,13 @@ def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
     """
     width = cfg.width
     n_samples = cfg.spp if spp is None else spp
+    if hit_fn is None and scene.triangles.count > 0:
+        use_mm = (cfg.tri_backend == "mm"
+                  or (cfg.tri_backend == "auto"
+                      and scene.triangles.count >= 256))
+        if use_mm:
+            from .mesh_accel import make_mm_hit_fn
+            hit_fn = make_mm_hit_fn(scene, cfg.t_min)
     rows = (row_start
             + jax.lax.broadcasted_iota(jnp.int32, (n_rows, width), 0)
             ).reshape(-1)
@@ -85,7 +92,19 @@ def _render_rows_jit(cfg, n_rows, *, scene, row_start, seed,
 
 def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:
     """Render the full image; returns (H, W, 3) f32 radiance in [0,1],
-    row 0 = image bottom.  Row-chunked to bound peak memory."""
+    row 0 = image bottom.
+
+    Backend dispatch: cfg.backend "pallas" (or "auto" on a TPU) routes
+    supported scenes through the VMEM-resident Pallas megakernel
+    (kernels/megakernel.py); everything else uses the jnp lax.scan tracer,
+    row-chunked to bound peak memory.
+    """
+    if cfg.backend in ("pallas", "auto"):
+        from ..kernels.megakernel import render_pallas, supports
+        on_tpu = jax.default_backend() in ("tpu",)
+        if supports(scene, cfg) and (cfg.backend == "pallas" or on_tpu):
+            return render_pallas(scene, cfg, seed=seed,
+                                 interpret=not on_tpu)
     chunk = cfg.row_chunk or cfg.height
     assert cfg.height % chunk == 0, "row_chunk must divide height"
     out = []
