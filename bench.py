@@ -35,9 +35,22 @@ def main() -> int:
     cfg = ort.RenderConfig(width=width, height=height, spp=spp,
                            max_depth=depth)
 
+    def run(seed):
+        # the axon tunnel occasionally drops a request; retry once
+        for attempt in range(2):
+            try:
+                img = ort.render(scene, cfg, seed=seed)
+                jax.block_until_ready(img)
+                return img
+            except Exception as e:  # jax.errors.JaxRuntimeError etc.
+                if attempt == 1:
+                    raise
+                print(f"# retrying after device error: {e}",
+                      file=sys.stderr)
+                time.sleep(5)
+
     t_compile = time.perf_counter()
-    img = ort.render(scene, cfg, seed=0)
-    jax.block_until_ready(img)
+    img = run(0)
     t_first = time.perf_counter() - t_compile
     print(f"# first call (compile + run): {t_first:.2f} s", file=sys.stderr)
 
@@ -45,8 +58,7 @@ def main() -> int:
     times = []
     for i in range(2):
         t0 = time.perf_counter()
-        img = ort.render(scene, cfg, seed=i + 1)
-        jax.block_until_ready(img)
+        img = run(i + 1)
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
