@@ -118,10 +118,13 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                  has_fuzz: bool, has_aperture: bool):
     """Build the kernel body with all config baked in statically."""
 
-    def kernel(cam_ref, sph_ref, r_ref, g_ref, b_ref, st, acc):
+    def kernel(off_ref, cam_ref, sph_ref, r_ref, g_ref, b_ref, st, acc):
         tile = pl.program_id(0)
         shape = (TILE_ROWS, LANES)
-        lin = (tile * TILE
+        # off_ref[0,0]: global pixel offset of this invocation's first pixel
+        # (0 single-device; row_offset*width under shard_map) — keeps RNG
+        # streams and camera uv global, so sharded == single-chip.
+        lin = (off_ref[0, 0] + tile * TILE
                + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
                + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
         pix_u = lin.astype(_U32)
@@ -469,16 +472,27 @@ def _sphere_table(scene: Scene):
 
 
 def render_pallas(scene: Scene, cfg: RenderConfig, seed: int = 0,
-                  interpret: bool = False):
-    """Full-image forward render via the megakernel; (H,W,3) f32.
+                  interpret: bool = False, rows: int | None = None,
+                  pix_offset=0):
+    """Forward render via the megakernel; ((rows or H), W, 3) f32.
 
     Semantics match tracer.render (same RNG streams, same estimator quirks);
     forward only.  interpret=True runs the Pallas interpreter (CPU testing).
+    rows/pix_offset render a row block starting at global pixel pix_offset
+    (traced scalar ok) — the shard_map entry point (parallel/sharded.py).
     """
     assert supports(scene, cfg), "megakernel: unsupported scene"
-    # Static material-presence specialization: scenes without dielectric /
-    # emissive / fuzzy-metal spheres compile without those code paths.
-    # Concretized here, OUTSIDE the jit below, so scene leaves are real.
+    flags = specialize_flags(scene)
+    return _render_pallas_jit(scene, cfg, seed, interpret, flags,
+                              rows if rows is not None else cfg.height,
+                              jnp.int32(pix_offset))
+
+
+def specialize_flags(scene: Scene):
+    """Static material-presence specialization flags: scenes without
+    dielectric / emissive / fuzzy-metal spheres compile without those code
+    paths.  Must be called on a CONCRETE scene (outside jit/shard_map);
+    pass the result to render_pallas_inner from traced contexts."""
     types = np.asarray(scene.spheres.mat_type)
     fuzz = np.asarray(scene.spheres.fuzz)
     aperture = float(np.asarray(scene.camera.aperture_deg))
@@ -487,16 +501,15 @@ def render_pallas(scene: Scene, cfg: RenderConfig, seed: int = 0,
     has_emit = bool((types == mat.EMISSIVE).any())
     has_fuzz = bool((fuzz[types == mat.METAL] > 0).any()) if has_metal \
         else False
-    flags = (has_metal, has_diel, has_emit, has_fuzz, aperture > 0.0)
-    return _render_pallas_jit(scene, cfg, seed, interpret, flags)
+    return (has_metal, has_diel, has_emit, has_fuzz, aperture > 0.0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "seed", "interpret", "flags"))
-def _render_pallas_jit(scene: Scene, cfg: RenderConfig, seed, interpret,
-                       flags):
+def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
+                        flags, rows, pix_offset):
+    """Trace-safe megakernel call: flags from specialize_flags, scene may
+    be traced (used inside shard_map, parallel/sharded.py)."""
     has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags
-    n_pix = cfg.width * cfg.height
+    n_pix = cfg.width * rows
     n_tiles = -(-n_pix // TILE)
 
     kernel = _make_kernel(
@@ -514,6 +527,8 @@ def _render_pallas_jit(scene: Scene, cfg: RenderConfig, seed, interpret,
         out_shape=[out_shape, out_shape, out_shape],
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
@@ -529,7 +544,12 @@ def _render_pallas_jit(scene: Scene, cfg: RenderConfig, seed, interpret,
             pltpu.VMEM((3, TILE_ROWS, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(_camera_table(scene), _sphere_table(scene))
+    )(pix_offset.reshape(1, 1), _camera_table(scene),
+      _sphere_table(scene))
 
     img = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
-    return img[:n_pix].reshape(cfg.height, cfg.width, 3)
+    return img[:n_pix].reshape(rows, cfg.width, 3)
+
+
+_render_pallas_jit = functools.partial(jax.jit, static_argnames=(
+    "cfg", "seed", "interpret", "flags", "rows"))(render_pallas_inner)

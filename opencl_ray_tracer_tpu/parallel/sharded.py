@@ -41,13 +41,24 @@ def _check(cfg: RenderConfig, mesh):
 
 
 def render_sharded(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0,
-                   hit_fn_factory=None):
+                   hit_fn_factory=None, use_pallas: bool = False,
+                   pallas_interpret: bool = False):
     """Render the full image over the mesh; returns (H,W,3) committed to a
     row-sharded layout.  hit_fn_factory(scene) -> hit_fn optionally installs
-    a custom closest-hit (the geometry ring, parallel/ring.py)."""
+    a custom closest-hit (the geometry ring, parallel/ring.py).
+
+    use_pallas routes each shard's row block through the megakernel
+    (spheres + gradient/const sky scenes; sample axis must be 1 — the
+    wavefront kernel owns the whole sample loop)."""
     n_tile, n_sample = _check(cfg, mesh)
     rows_per = cfg.height // n_tile
     spp_per = cfg.spp // n_sample
+    if use_pallas:
+        assert n_sample == 1, "pallas sharded render: sample axis must be 1"
+        from ..kernels.megakernel import specialize_flags, supports
+        assert supports(scene, cfg), "megakernel: unsupported scene"
+        # flags need a concrete scene; inside shard_map it is traced
+        pallas_flags = specialize_flags(scene)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -57,6 +68,11 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0,
     def _render(scene):
         ti = jax.lax.axis_index(TILE_AXIS)
         si = jax.lax.axis_index(SAMPLE_AXIS)
+        if use_pallas:
+            from ..kernels.megakernel import render_pallas_inner
+            return render_pallas_inner(
+                scene, cfg, seed, pallas_interpret, pallas_flags,
+                rows_per, ti * (rows_per * cfg.width))
         hit_fn = hit_fn_factory(scene) if hit_fn_factory else None
         img = render_rows(scene, cfg, ti * rows_per, rows_per,
                           jnp.uint32(seed), sample_offset=si * spp_per,

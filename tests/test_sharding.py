@@ -167,3 +167,17 @@ def test_mesh_describe():
     mesh = par.make_mesh(n_tile=4, n_sample=2)
     s = par.describe(mesh)
     assert "tile" in s and "4" in s
+
+
+def test_pallas_sharded_bit_identical():
+    # megakernel per shard (interpret mode), global pixel offsets: must be
+    # bit-identical to the single-invocation megakernel.
+    from opencl_ray_tracer_tpu.kernels.megakernel import render_pallas
+    scene = ort.readme_scene()
+    cfg = ort.RenderConfig(width=128, height=8 * 64, spp=2, max_depth=4)
+    mesh = par.make_mesh(n_tile=8, n_sample=1)
+    img_s = np.asarray(par.render_sharded(scene, cfg, mesh, 0,
+                                          use_pallas=True,
+                                          pallas_interpret=True))
+    img_1 = np.asarray(render_pallas(scene, cfg, seed=0, interpret=True))
+    np.testing.assert_array_equal(img_s, img_1)
