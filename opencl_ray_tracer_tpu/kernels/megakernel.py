@@ -112,7 +112,7 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 
 def _make_kernel(n_spheres: int, width: int, height: int,
-                 spp: int, max_depth: int, t_min: float, seed: int,
+                 spp: int, max_depth: int, t_min: float,
                  sky_kind: int, clamp_samples: bool, nan_policy: str,
                  has_metal: bool, has_diel: bool, has_emit: bool,
                  has_fuzz: bool, has_aperture: bool):
@@ -121,9 +121,9 @@ def _make_kernel(n_spheres: int, width: int, height: int,
     def kernel(off_ref, cam_ref, sph_ref, r_ref, g_ref, b_ref, st, acc):
         tile = pl.program_id(0)
         shape = (TILE_ROWS, LANES)
-        # off_ref[0,0]: global pixel offset of this invocation's first pixel
-        # (0 single-device; row_offset*width under shard_map) — keeps RNG
-        # streams and camera uv global, so sharded == single-chip.
+        # off_ref row 0: [global pixel offset, seed] — both traced so
+        # neither a new seed nor a shard offset forces a recompile; global
+        # pixel ids keep RNG streams and camera uv shard-invariant.
         lin = (off_ref[0, 0] + tile * TILE
                + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
                + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
@@ -134,7 +134,7 @@ def _make_kernel(n_spheres: int, width: int, height: int,
         def cam(i):
             return cam_ref[0, i]
 
-        seed_arr = jnp.full(shape, _U32(seed))
+        seed_arr = jnp.zeros(shape, _U32) + off_ref[0, 1].astype(_U32)
         zero = jnp.zeros(shape, jnp.float32)
         one = zero + 1.0
 
@@ -483,7 +483,7 @@ def render_pallas(scene: Scene, cfg: RenderConfig, seed: int = 0,
     """
     assert supports(scene, cfg), "megakernel: unsupported scene"
     flags = specialize_flags(scene)
-    return _render_pallas_jit(scene, cfg, seed, interpret, flags,
+    return _render_pallas_jit(scene, cfg, jnp.int32(seed), interpret, flags,
                               rows if rows is not None else cfg.height,
                               jnp.int32(pix_offset))
 
@@ -515,7 +515,7 @@ def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
     kernel = _make_kernel(
         n_spheres=scene.spheres.count, width=cfg.width, height=cfg.height,
         spp=cfg.spp, max_depth=cfg.max_depth,
-        t_min=cfg.t_min, seed=seed, sky_kind=scene.sky.kind,
+        t_min=cfg.t_min, sky_kind=scene.sky.kind,
         clamp_samples=cfg.clamp_samples, nan_policy=cfg.nan_policy,
         has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
         has_fuzz=has_fuzz, has_aperture=has_aperture)
@@ -527,7 +527,7 @@ def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
         out_shape=[out_shape, out_shape, out_shape],
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -544,12 +544,13 @@ def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
             pltpu.VMEM((3, TILE_ROWS, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(pix_offset.reshape(1, 1), _camera_table(scene),
-      _sphere_table(scene))
+    )(jnp.stack([jnp.int32(pix_offset),
+                 jnp.int32(seed)]).reshape(1, 2),
+      _camera_table(scene), _sphere_table(scene))
 
     img = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     return img[:n_pix].reshape(rows, cfg.width, 3)
 
 
 _render_pallas_jit = functools.partial(jax.jit, static_argnames=(
-    "cfg", "seed", "interpret", "flags", "rows"))(render_pallas_inner)
+    "cfg", "interpret", "flags", "rows"))(render_pallas_inner)
