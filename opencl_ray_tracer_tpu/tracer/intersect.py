@@ -39,8 +39,21 @@ TRI_EPS = 1e-5        # gpu_kernel.cl:496
 # Plain Python float (see camera.py _DEG note on module-level jnp arrays).
 BIG = 3.4e38
 
-# Static triangle tile size for the scan fold (multiple of 128 lanes).
+# Default triangle tile size for the scan fold (multiple of 128 lanes).
 TRI_CHUNK = 512
+# Budget for the (rays x tri_chunk) intermediates of one fold step, in
+# elements (~800 MB of f32 temporaries).  The chunk adapts DOWN as the ray
+# batch grows, so big renders never exhaust HBM; nesting an extra ray-chunk
+# lax.map instead triggers TPU kernel faults when it sits inside the sample
+# scan (observed on v5e), so memory is bounded by chunk sizing alone.
+PAIR_BUDGET = 2 * 10**8
+
+
+def adaptive_tri_chunk(n_rays: int, per_pair_cost: int = 3) -> int:
+    """Largest 128-multiple triangle chunk keeping n_rays*chunk*cost within
+    PAIR_BUDGET (floor 128)."""
+    c = PAIR_BUDGET // max(n_rays * per_pair_cost, 1)
+    return int(max(128, min(TRI_CHUNK, (c // 128) * 128)))
 
 
 class HitInfo(NamedTuple):
@@ -127,18 +140,18 @@ def hit_aabbs(o, d, box_min, box_max):
     return tmax > jnp.maximum(tmin, 0.0)
 
 
-def _pad_triangles(tris):
-    """Pad triangle arrays to a TRI_CHUNK multiple with degenerate (never-hit)
+def _pad_triangles(tris, chunk):
+    """Pad triangle arrays to a chunk multiple with degenerate (never-hit)
     triangles; returns (p0, p1, p2, box_id, n_chunks)."""
     t = tris.count
-    pad = (-t) % TRI_CHUNK
+    pad = (-t) % chunk
     if t == 0:
         return None
     p0 = jnp.pad(tris.p0, ((0, pad), (0, 0)))
     p1 = jnp.pad(tris.p1, ((0, pad), (0, 0)))
     p2 = jnp.pad(tris.p2, ((0, pad), (0, 0)))
     box_id = jnp.pad(tris.box_id, (0, pad), constant_values=-1)
-    return p0, p1, p2, box_id, (t + pad) // TRI_CHUNK
+    return p0, p1, p2, box_id, (t + pad) // chunk
 
 
 def closest_hit(scene: Scene, o, d, t_min) -> HitInfo:
@@ -162,7 +175,8 @@ def closest_hit(scene: Scene, o, d, t_min) -> HitInfo:
         best_t = jnp.where(upd, tbest, best_t)
         best_idx = jnp.where(upd, idx.astype(jnp.int32), best_idx)
 
-    padded = _pad_triangles(tris)
+    chunk = adaptive_tri_chunk(r)
+    padded = _pad_triangles(tris, chunk)
     if padded is not None:
         p0, p1, p2, box_id, n_chunks = padded
         if boxes.count > 0:
@@ -170,34 +184,40 @@ def closest_hit(scene: Scene, o, d, t_min) -> HitInfo:
         else:
             box_hit = jnp.zeros((r, 1), bool)
 
-        p0c = p0.reshape(n_chunks, TRI_CHUNK, 3)
-        p1c = p1.reshape(n_chunks, TRI_CHUNK, 3)
-        p2c = p2.reshape(n_chunks, TRI_CHUNK, 3)
-        bidc = box_id.reshape(n_chunks, TRI_CHUNK)
+        p0c = p0.reshape(n_chunks, chunk, 3)
+        p1c = p1.reshape(n_chunks, chunk, 3)
+        p2c = p2.reshape(n_chunks, chunk, 3)
+        bidc = box_id.reshape(n_chunks, chunk)
+        bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
 
-        def fold(carry, chunk):
-            bt, bi = carry
-            cp0, cp1, cp2, cbid, base = chunk
-            # AABB gate: triangle tested only if its box is hit
-            # (gpu_kernel.cl:374-391); padded tris have box_id=-1 -> never.
-            gate = jnp.where(cbid[None, :] >= 0,
-                             jnp.take_along_axis(
-                                 box_hit,
-                                 jnp.clip(cbid, 0, None)[None, :].repeat(r, 0),
-                                 axis=1),
-                             False)
-            tt = hit_triangles_chunk(o, d, cp0, cp1, cp2, t_min, gate)
-            ci = jnp.argmin(tt, axis=1)
-            ct = jnp.take_along_axis(tt, ci[:, None], axis=1)[:, 0]
-            upd = ct < bt
-            bt = jnp.where(upd, ct, bt)
-            bi = jnp.where(upd, (base + ci).astype(jnp.int32), bi)
-            return (bt, bi), None
+        def tri_fold(ob, db, box_hit_b):
+            rb = ob.shape[0]
 
-        bases = jnp.arange(n_chunks, dtype=jnp.int32) * TRI_CHUNK
-        (tri_t, tri_idx), _ = jax.lax.scan(
-            fold, (jnp.full((r,), BIG), jnp.zeros((r,), jnp.int32)),
-            (p0c, p1c, p2c, bidc, bases))
+            def fold(carry, chunk):
+                bt, bi = carry
+                cp0, cp1, cp2, cbid, base = chunk
+                # AABB gate: triangle tested only if its box is hit
+                # (gpu_kernel.cl:374-391); padded tris (box_id=-1) never.
+                # Fold over boxes with broadcast selects — per-lane gathers
+                # lower poorly on TPU.
+                gate = jnp.zeros((rb, cbid.shape[0]), bool)
+                for b in range(box_hit_b.shape[1]):
+                    gate = gate | ((cbid[None, :] == b)
+                                   & box_hit_b[:, b:b + 1])
+                tt = hit_triangles_chunk(ob, db, cp0, cp1, cp2, t_min, gate)
+                ci = jnp.argmin(tt, axis=1)
+                ct = jnp.take_along_axis(tt, ci[:, None], axis=1)[:, 0]
+                upd = ct < bt
+                bt = jnp.where(upd, ct, bt)
+                bi = jnp.where(upd, (base + ci).astype(jnp.int32), bi)
+                return (bt, bi), None
+
+            (bt, bi), _ = jax.lax.scan(
+                fold, (jnp.full((rb,), BIG), jnp.zeros((rb,), jnp.int32)),
+                (p0c, p1c, p2c, bidc, bases))
+            return bt, bi
+
+        tri_t, tri_idx = tri_fold(o, d, box_hit)
         upd = tri_t < best_t
         best_t = jnp.where(upd, tri_t, best_t)
         best_kind = jnp.where(upd, 1, best_kind)

@@ -38,11 +38,14 @@ import jax.numpy as jnp
 from ..scene import Scene
 from .intersect import (BIG, HitInfo, TRI_EPS, closest_hit, hit_aabbs)
 
-MM_CHUNK = 2048  # triangles per fold step (MXU-sized: (R,10)@(10,8192))
+MM_CHUNK = 2048  # default triangles per fold step ((R,10)@(10,4*chunk))
+# The chunk adapts DOWN with the ray-batch size (intersect.adaptive_tri_chunk)
+# so the (rays x 4*chunk) intermediates stay within budget; large images are
+# additionally row-chunked at the render() level (tracer/render.py).
 
 
 class TriFeatures(NamedTuple):
-    weights: jnp.ndarray   # (n_chunks, 10, 4*MM_CHUNK) matmul weights
+    weights: jnp.ndarray   # (n_chunks, 10, 4*chunk) matmul weights
     normal: jnp.ndarray    # (T_pad, 3) unit geometric normals
     albedo: jnp.ndarray    # (T_pad, 3)
     fuzz: jnp.ndarray      # (T_pad,)
@@ -50,15 +53,17 @@ class TriFeatures(NamedTuple):
     mat_type: jnp.ndarray  # (T_pad,) i32
     box_id: jnp.ndarray    # (T_pad,) i32 (-1 for padding)
     n_chunks: int
+    chunk: int
 
 
-def build_tri_features(scene: Scene) -> TriFeatures | None:
+def build_tri_features(scene: Scene,
+                       chunk: int = MM_CHUNK) -> TriFeatures | None:
     """Precompute the per-triangle matmul columns (once per scene)."""
     tris = scene.triangles
     t = tris.count
     if t == 0:
         return None
-    pad = (-t) % MM_CHUNK
+    pad = (-t) % chunk
     p0 = jnp.pad(tris.p0, ((0, pad), (0, 0)))
     p1 = jnp.pad(tris.p1, ((0, pad), (0, 0)))
     # degenerate padding (p2 == p0) never hits: a == 0 -> parallel cull
@@ -80,10 +85,10 @@ def build_tri_features(scene: Scene) -> TriFeatures | None:
     w_v = jnp.concatenate([v_d, -e0, z3, z1], axis=1)
     w_t = jnp.concatenate([z3, z3, n, t_bias[:, None]], axis=1)
 
-    n_chunks = tp // MM_CHUNK
+    n_chunks = tp // chunk
 
-    def chunk_w(w):  # (tp,10) -> (n_chunks, 10, MM_CHUNK)
-        return w.reshape(n_chunks, MM_CHUNK, 10).transpose(0, 2, 1)
+    def chunk_w(w):  # (tp,10) -> (n_chunks, 10, chunk)
+        return w.reshape(n_chunks, chunk, 10).transpose(0, 2, 1)
 
     weights = jnp.concatenate(
         [chunk_w(w_a), chunk_w(w_u), chunk_w(w_v), chunk_w(w_t)], axis=2)
@@ -99,6 +104,7 @@ def build_tri_features(scene: Scene) -> TriFeatures | None:
         mat_type=pad1(tris.mat_type),
         box_id=pad1(tris.box_id, -1),
         n_chunks=n_chunks,
+        chunk=chunk,
     )
 
 
@@ -110,7 +116,7 @@ def _mm_closest_tri(feats: TriFeatures, box_hit, o, d, t_min):
     m = jnp.cross(o, d)
     f_ray = jnp.concatenate(
         [d, m, o, jnp.ones((r, 1), jnp.float32)], axis=1)   # (R, 10)
-    box_id_c = feats.box_id.reshape(feats.n_chunks, MM_CHUNK)
+    box_id_c = feats.box_id.reshape(feats.n_chunks, feats.chunk)
 
     def fold(carry, chunk):
         bt, bi = carry
@@ -122,12 +128,12 @@ def _mm_closest_tri(feats: TriFeatures, box_hit, o, d, t_min):
         u = u_num * inv_a
         v = v_num * inv_a
         tt = t_num * inv_a
-        gate = jnp.where(bid[None, :] >= 0,
-                         jnp.take_along_axis(
-                             box_hit,
-                             jnp.clip(bid, 0, None)[None, :].repeat(r, 0),
-                             axis=1),
-                         False)
+        # AABB gate without a (R,C) gather: fold over the (few) boxes with
+        # broadcast selects — per-lane gathers lower poorly on TPU.
+        n_boxes = box_hit.shape[1]
+        gate = jnp.zeros((r, bid.shape[0]), bool)
+        for b in range(n_boxes):
+            gate = gate | ((bid[None, :] == b) & box_hit[:, b:b + 1])
         ok = (~parallel
               & (u >= 0.0) & (u <= 1.0)
               & (v >= 0.0) & (u + v <= 1.0)
@@ -141,17 +147,22 @@ def _mm_closest_tri(feats: TriFeatures, box_hit, o, d, t_min):
         bi = jnp.where(upd, (base + ci).astype(jnp.int32), bi)
         return (bt, bi), None
 
-    bases = jnp.arange(feats.n_chunks, dtype=jnp.int32) * MM_CHUNK
+    bases = jnp.arange(feats.n_chunks, dtype=jnp.int32) * feats.chunk
     (bt, bi), _ = jax.lax.scan(
         fold, (jnp.full((r,), BIG), jnp.zeros((r,), jnp.int32)),
         (feats.weights, box_id_c, bases))
     return bt, bi
 
 
-def make_mm_hit_fn(scene: Scene, t_min: float = 1e-3):
+def make_mm_hit_fn(scene: Scene, t_min: float = 1e-3,
+                   expected_rays: int | None = None):
     """Closest-hit function using MXU triangle intersection (drop-in for the
-    estimator's hit_fn hook).  Spheres still use the direct form (cheap)."""
-    feats = build_tri_features(scene)
+    estimator's hit_fn hook).  Spheres still use the direct form (cheap).
+    expected_rays sizes the triangle chunk to bound peak memory."""
+    from .intersect import adaptive_tri_chunk
+    chunk = MM_CHUNK if expected_rays is None else min(
+        MM_CHUNK, adaptive_tri_chunk(expected_rays, per_pair_cost=12))
+    feats = build_tri_features(scene, chunk)
     sphere_scene = dataclasses.replace(
         scene, triangles=scene.triangles.empty(),
         boxes=scene.boxes.empty())

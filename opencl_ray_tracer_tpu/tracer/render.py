@@ -59,7 +59,8 @@ def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
                       and scene.triangles.count >= 256))
         if use_mm:
             from .mesh_accel import make_mm_hit_fn
-            hit_fn = make_mm_hit_fn(scene, cfg.t_min)
+            hit_fn = make_mm_hit_fn(scene, cfg.t_min,
+                                    expected_rays=n_rows * width)
     rows = (row_start
             + jax.lax.broadcasted_iota(jnp.int32, (n_rows, width), 0)
             ).reshape(-1)
@@ -106,6 +107,16 @@ def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:
             return render_pallas(scene, cfg, seed=seed,
                                  interpret=not on_tpu)
     chunk = cfg.row_chunk or cfg.height
+    if cfg.row_chunk is None and scene.triangles.count > 0:
+        # Mesh scenes: bound the per-call ray batch so the triangle fold's
+        # (rays x chunk) intermediates stay in budget without nesting an
+        # inner ray map (which TPU codegen mishandles inside sample scans).
+        max_rows = max(1, 131072 // cfg.width)
+        chunk = cfg.height
+        for div in range(min(max_rows, cfg.height), 0, -1):
+            if cfg.height % div == 0:
+                chunk = div
+                break
     assert cfg.height % chunk == 0, "row_chunk must divide height"
     out = []
     for r0 in range(0, cfg.height, chunk):
