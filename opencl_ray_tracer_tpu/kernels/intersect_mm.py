@@ -1,0 +1,210 @@
+"""Fused Pallas ray-x-triangle intersection kernel (MXU + VMEM epilogue).
+
+The jnp matmul formulation (tracer/mesh_accel.py) is HBM-bound: every
+triangle chunk materializes its (rays, 4*chunk) product and epilogue
+temporaries to HBM (~16 bytes per ray-triangle pair).  This kernel keeps the
+whole pipeline in VMEM per ray tile:
+
+  grid cell = one tile of TILE_R rays
+    f_ray tile (TILE_R, 16)   [d, m=o x d, o, 1, pad]  -> VMEM
+    for each triangle chunk (static loop):
+      if AABB says no ray in this tile can hit the chunk's boxes: skip
+      (TILE_R,16) @ (16, 4*CHUNK) on the MXU  -> a | u | v | t columns
+      Moller-Trumbore accept tests elementwise in VMEM
+      fold running (min t, argmin triangle id) into scratch
+    write (t_best, idx_best) for the tile
+
+HBM traffic per pair: ZERO (weights stay resident in VMEM, ~4 MB for 15k
+triangles); the only HBM I/O is the ray features in and two (R,) results
+out.  The per-tile chunk skip generalizes the reference's per-ray AABB gate
+(gpu_kernel.cl:374-391) to tile granularity — camera tiles that miss the
+mesh's box skip all triangle work.
+
+Semantics identical to mesh_accel (same feature construction, eps, strict
+t window); used via make_pallas_hit_fn as the estimator hit_fn on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene import Scene
+from ..tracer.intersect import BIG, TRI_EPS, HitInfo, closest_hit, hit_aabbs
+from ..tracer import mesh_accel as ma
+
+TILE_R = 512       # rays per grid cell
+CHUNK = 2048       # triangles per inner step ((TILE_R,16)@(16,8192))
+NF = 16            # feature rows (10 used, padded)
+
+
+def _build_weights(scene: Scene):
+    """(NF, n_chunks*4*CHUNK) f32 weight table + per-chunk box mask."""
+    feats = ma.build_tri_features(scene, CHUNK)
+    if feats is None:
+        return None
+    # feats.weights: (n_chunks, 10, 4*CHUNK) -> pad rows to NF and flatten
+    w = feats.weights
+    n_chunks = feats.n_chunks
+    w = jnp.pad(w, ((0, 0), (0, NF - w.shape[1]), (0, 0)))
+    w_flat = w.transpose(1, 0, 2).reshape(NF, n_chunks * 4 * CHUNK)
+    # which boxes appear in each chunk (traced-safe: scene may be a tracer)
+    box_id_c = feats.box_id.reshape(n_chunks, CHUNK)
+    n_boxes = max(1, scene.boxes.count)  # static (array shape)
+    chunk_box = jnp.stack(
+        [(box_id_c == b).any(axis=1) for b in range(n_boxes)], axis=1)
+    return feats, w_flat, chunk_box, n_chunks
+
+
+def _make_kernel(n_chunks: int, t_min: float):
+    def kernel(fray_ref, w_ref, gate_ref, box_gate_ref, t_ref, idx_ref,
+               best_ref, bidx_ref):
+        i = pl.program_id(0)
+        fray = fray_ref[:]                       # (TILE_R, NF)
+        best_ref[:] = jnp.full((TILE_R, 1), BIG, jnp.float32)
+        bidx_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
+
+        for c in range(n_chunks):
+            @pl.when(gate_ref[i, c] > 0)
+            def _(c=c):
+                w = w_ref[:, c * 4 * CHUNK:(c + 1) * 4 * CHUNK]
+                prod = jnp.dot(fray, w,
+                               preferred_element_type=jnp.float32)
+                a = prod[:, 0 * CHUNK:1 * CHUNK]
+                u_num = prod[:, 1 * CHUNK:2 * CHUNK]
+                v_num = prod[:, 2 * CHUNK:3 * CHUNK]
+                t_num = prod[:, 3 * CHUNK:4 * CHUNK]
+                parallel = jnp.abs(a) < TRI_EPS      # gpu_kernel.cl:496
+                inv_a = 1.0 / jnp.where(parallel, 1.0, a)
+                u = u_num * inv_a
+                v = v_num * inv_a
+                tt = t_num * inv_a
+                # per-ray box gate for this chunk's triangles
+                gate = box_gate_ref[:, c:c + 1] > 0  # (TILE_R, 1)
+                ok = (~parallel
+                      & (u >= 0.0) & (u <= 1.0)
+                      & (v >= 0.0) & (u + v <= 1.0)
+                      & (tt > t_min)                 # strict (:520)
+                      & gate)
+                tt = jnp.where(ok, tt, BIG)
+                ci = jnp.argmin(tt, axis=1)[:, None].astype(jnp.int32)
+                ct = jnp.min(tt, axis=1)[:, None]
+                upd = ct < best_ref[:]
+                best_ref[:] = jnp.where(upd, ct, best_ref[:])
+                bidx_ref[:] = jnp.where(upd, c * CHUNK + ci, bidx_ref[:])
+
+        t_ref[:] = best_ref[:]
+        idx_ref[:] = bidx_ref[:]
+
+    return kernel
+
+
+def _pallas_closest_tri(feats, w_flat, chunk_box, n_chunks, scene, o, d,
+                        box_hit, t_min, interpret):
+    r = o.shape[0]
+    pad = (-r) % TILE_R
+    n_tiles = (r + pad) // TILE_R
+    m = jnp.cross(o, d)
+    f_ray = jnp.concatenate(
+        [d, m, o, jnp.ones((r, 1), jnp.float32),
+         jnp.zeros((r, NF - 10), jnp.float32)], axis=1)
+    f_ray = jnp.pad(f_ray, ((0, pad), (0, 0)))
+
+    # tile-level chunk gates: tile hits chunk iff any ray in the tile hits
+    # any box present in the chunk
+    bh = jnp.pad(box_hit, ((0, pad), (0, 0)))              # (R_pad, B)
+    tile_box = bh.reshape(n_tiles, TILE_R, -1).any(axis=1)  # (n_tiles, B)
+    gates = (tile_box @ chunk_box.T.astype(tile_box.dtype)) \
+        .astype(jnp.int32)                                  # (n_tiles, n_chunks)
+
+    # per-ray any-box gate (single-box scenes: box_hit itself)
+    ray_gate = jnp.pad(box_hit.any(axis=1).astype(jnp.int32)[:, None],
+                       ((0, pad), (0, 0)))
+    # broadcast per-chunk: a ray participates in chunk c iff it hits one of
+    # the chunk's boxes; exact per-box needs (R, n_chunks):
+    ray_chunk_gate = (bh.astype(jnp.int32)
+                      @ chunk_box.T.astype(jnp.int32))      # (R_pad, n_chunks)
+
+    kernel = _make_kernel(n_chunks, t_min)
+    t_out, idx_out = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * TILE_R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * TILE_R, 1), jnp.int32),
+        ],
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_R, NF), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NF, n_chunks * 4 * CHUNK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole gate table
+            pl.BlockSpec((TILE_R, n_chunks), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_R, 1), jnp.float32),
+            pltpu.VMEM((TILE_R, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(f_ray, w_flat, gates, ray_chunk_gate)
+    return t_out[:r, 0], idx_out[:r, 0]
+
+
+def make_pallas_hit_fn(scene: Scene, t_min: float = 1e-3,
+                       interpret: bool = False):
+    """Estimator hit_fn using the fused Pallas intersection kernel.
+    Returns None when the scene has no triangles."""
+    built = _build_weights(scene)
+    sphere_scene = dataclasses.replace(
+        scene, triangles=scene.triangles.empty(),
+        boxes=scene.boxes.empty())
+    if built is None:
+        return None
+    feats, w_flat, chunk_box, n_chunks = built
+
+    def hit_fn(o, d):
+        base = closest_hit(sphere_scene, o, d, t_min)
+        r = o.shape[0]
+        if scene.boxes.count > 0:
+            box_hit = hit_aabbs(o, d, scene.boxes.box_min,
+                                scene.boxes.box_max)
+        else:
+            box_hit = jnp.ones((r, 1), bool)
+        tri_t, tri_idx = _pallas_closest_tri(
+            feats, w_flat, chunk_box, n_chunks, scene, o, d, box_hit,
+            t_min, interpret)
+
+        take_tri = (tri_t < BIG) & (~base.hit | (tri_t < base.t))
+        tt = take_tri[:, None]
+        idx = jnp.clip(tri_idx, 0, feats.normal.shape[0] - 1)
+        outward = feats.normal[idx]
+        front_tri = jnp.sum(d * outward, axis=-1) < 0.0
+        normal_tri = jnp.where(front_tri[:, None], outward, -outward)
+        t_safe = jnp.where(take_tri, tri_t, 1.0)
+        return HitInfo(
+            hit=base.hit | take_tri,
+            t=jnp.where(take_tri, tri_t, base.t),
+            point=jnp.where(tt, o + t_safe[:, None] * d, base.point),
+            normal=jnp.where(tt, normal_tri, base.normal),
+            front_face=jnp.where(take_tri, front_tri, base.front_face),
+            albedo=jnp.where(tt, feats.albedo[idx], base.albedo),
+            fuzz=jnp.where(take_tri, feats.fuzz[idx], base.fuzz),
+            ior=jnp.where(take_tri, feats.ior[idx], base.ior),
+            mat_type=jnp.where(take_tri, feats.mat_type[idx],
+                               base.mat_type),
+        )
+
+    return hit_fn

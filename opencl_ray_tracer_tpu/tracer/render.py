@@ -54,10 +54,18 @@ def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
     width = cfg.width
     n_samples = cfg.spp if spp is None else spp
     if hit_fn is None and scene.triangles.count > 0:
-        use_mm = (cfg.tri_backend == "mm"
-                  or (cfg.tri_backend == "auto"
+        on_tpu = jax.default_backend() == "tpu"
+        use_pl = (cfg.tri_backend == "pallas"
+                  or (cfg.tri_backend == "auto" and on_tpu
                       and scene.triangles.count >= 256))
-        if use_mm:
+        use_mm = (cfg.tri_backend == "mm"
+                  or (cfg.tri_backend == "auto" and not use_pl
+                      and scene.triangles.count >= 256))
+        if use_pl:
+            from ..kernels.intersect_mm import make_pallas_hit_fn
+            hit_fn = make_pallas_hit_fn(scene, cfg.t_min,
+                                        interpret=not on_tpu)
+        elif use_mm:
             from .mesh_accel import make_mm_hit_fn
             hit_fn = make_mm_hit_fn(scene, cfg.t_min,
                                     expected_rays=n_rows * width)
@@ -107,10 +115,13 @@ def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:
             return render_pallas(scene, cfg, seed=seed,
                                  interpret=not on_tpu)
     chunk = cfg.row_chunk or cfg.height
-    if cfg.row_chunk is None and scene.triangles.count > 0:
-        # Mesh scenes: bound the per-call ray batch so the triangle fold's
-        # (rays x chunk) intermediates stay in budget without nesting an
-        # inner ray map (which TPU codegen mishandles inside sample scans).
+    if (cfg.row_chunk is None and scene.triangles.count > 0
+            and jax.default_backend() != "tpu"):
+        # jnp-mm mesh path (CPU): bound the per-call ray batch so the
+        # triangle fold's (rays x chunk) intermediates stay in budget
+        # without nesting an inner ray map (which TPU codegen mishandles
+        # inside sample scans).  The TPU path uses the fused Pallas kernel,
+        # whose memory is VMEM-tiled and R-independent — no chunking.
         max_rows = max(1, 131072 // cfg.width)
         chunk = cfg.height
         for div in range(min(max_rows, cfg.height), 0, -1):
