@@ -77,16 +77,24 @@ def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
     cfg_static = (cfg.width, cfg.height, cfg.max_depth, cfg.t_min,
                   cfg.early_stop)
 
-    def body(acc, sample_id):
-        colour = _sample_radiance(scene, cfg_static, rows, cols, pixel_ids,
-                                  sample_id, seed, hit_fn)
-        return accumulate_sample(acc, colour, cfg.nan_policy,
-                                 cfg.clamp_samples), None
+    if cfg.early_stop:
+        # Forward path: wavefront loop with path regeneration — same output
+        # as the sample scan (identical draws, per-pixel completion order)
+        # with far fewer bounce iterations for heavy-tailed path lengths.
+        from .wavefront import render_rows_wavefront
+        acc = render_rows_wavefront(scene, cfg, rows, cols, pixel_ids,
+                                    seed, sample_offset, n_samples, hit_fn)
+    else:
+        def body(acc, sample_id):
+            colour = _sample_radiance(scene, cfg_static, rows, cols,
+                                      pixel_ids, sample_id, seed, hit_fn)
+            return accumulate_sample(acc, colour, cfg.nan_policy,
+                                     cfg.clamp_samples), None
 
-    acc = jnp.zeros((n_rows * width, 3), jnp.float32)
-    acc, _ = jax.lax.scan(
-        body, acc,
-        sample_offset + jnp.arange(n_samples, dtype=jnp.int32))
+        acc = jnp.zeros((n_rows * width, 3), jnp.float32)
+        acc, _ = jax.lax.scan(
+            body, acc,
+            sample_offset + jnp.arange(n_samples, dtype=jnp.int32))
     if mean:
         acc = acc / jnp.float32(n_samples)  # final divide (gpu_kernel.cl:647)
     return acc.reshape(n_rows, width, 3)
