@@ -23,6 +23,8 @@ def _lib():
     if _TRIED:
         return _LIB
     _TRIED = True
+    if os.environ.get("OCLRT_NATIVE", "1") == "0":
+        return None
     path = os.path.join(os.path.dirname(__file__), "..", "..", "native",
                         "liboclrt_native.so")
     path = os.path.abspath(path)

@@ -182,7 +182,10 @@ def make_pallas_hit_fn(scene: Scene, t_min: float = 1e-3,
             box_hit = hit_aabbs(o, d, scene.boxes.box_min,
                                 scene.boxes.box_max)
         else:
-            box_hit = jnp.ones((r, 1), bool)
+            # Reference semantics: triangles are only tested inside the
+            # bounding-box loop (gpu_kernel.cl:374-391), so no boxes means
+            # no triangle hits — matching closest_hit and make_mm_hit_fn.
+            box_hit = jnp.zeros((r, 1), bool)
         tri_t, tri_idx = _pallas_closest_tri(
             feats, w_flat, chunk_box, n_chunks, scene, o, d, box_hit,
             t_min, interpret)

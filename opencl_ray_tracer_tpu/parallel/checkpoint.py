@@ -57,17 +57,18 @@ def render_checkpointed(scene: Scene, cfg: RenderConfig, path: str,
         assert acc.shape == (h, w, 3), "checkpoint shape mismatch"
         assert saved_seed == seed, "checkpoint seed mismatch"
 
-    # NaN running-sum policy is per-chunk under resume; use the
-    # order-invariant policy so resumed == uninterrupted exactly.
-    ccfg = cfg.replace(nan_policy="zero")
-
+    # The running-sum NaN policy reads the radiance sum over ALL prior
+    # samples (gpu_kernel.cl:640-642), so each chunk is seeded with the
+    # accumulated sum so far (acc0): a chunked/resumed render is exactly
+    # equal to an uninterrupted render() under every nan_policy.
     while done < cfg.spp:
         n = min(chunk_spp, cfg.spp - done)
-        chunk = _render_rows_jit(ccfg.replace(spp=n), h, scene=scene,
+        chunk = _render_rows_jit(cfg.replace(spp=n), h, scene=scene,
                                  row_start=jnp.int32(0),
                                  seed=jnp.uint32(seed),
-                                 sample_offset=jnp.int32(done), mean=False)
-        acc = acc + np.asarray(chunk)
+                                 sample_offset=jnp.int32(done), mean=False,
+                                 acc0=jnp.asarray(acc))
+        acc = np.asarray(chunk).reshape(h, w, 3)
         done += n
         save_state(path, acc, done, seed)
         if progress is not None:

@@ -39,7 +39,8 @@ def _sample_radiance(scene: Scene, cfg_static, rows, cols, pixel_ids,
 
 
 def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
-                sample_offset=0, spp=None, hit_fn=None, mean=True):
+                sample_offset=0, spp=None, hit_fn=None, mean=True,
+                acc0=None):
     """Render n_rows image rows starting at row_start (traced scalar ok).
 
     Returns (n_rows, W, 3) mean radiance (or the raw radiance *sum* when
@@ -50,6 +51,11 @@ def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
     sample_offset/spp select a global sample-id window — the RNG streams are
     keyed on the global sample id, so sample-axis sharding and resumed
     renders draw exactly the samples a single sequential run would.
+    acc0 optionally seeds the running radiance sum ((n_rows, W, 3) or
+    (n_rows*W, 3)): a chunked/resumed render whose acc0 is the previous
+    chunks' sum reproduces the running-sum NaN policy of an uninterrupted
+    run exactly (the NaN replacement at gpu_kernel.cl:640-642 reads the
+    running sum over ALL prior samples).  The returned value includes acc0.
     """
     width = cfg.width
     n_samples = cfg.spp if spp is None else spp
@@ -86,7 +92,8 @@ def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
         # fewer environment gathers.)
         from .wavefront import render_rows_wavefront
         acc = render_rows_wavefront(scene, cfg, rows, cols, pixel_ids,
-                                    seed, sample_offset, n_samples, hit_fn)
+                                    seed, sample_offset, n_samples, hit_fn,
+                                    acc0=acc0)
     else:
         def body(acc, sample_id):
             colour = _sample_radiance(scene, cfg_static, rows, cols,
@@ -94,7 +101,8 @@ def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
             return accumulate_sample(acc, colour, cfg.nan_policy,
                                      cfg.clamp_samples), None
 
-        acc = jnp.zeros((n_rows * width, 3), jnp.float32)
+        acc = (jnp.zeros((n_rows * width, 3), jnp.float32) if acc0 is None
+               else jnp.asarray(acc0, jnp.float32).reshape(-1, 3))
         acc, _ = jax.lax.scan(
             body, acc,
             sample_offset + jnp.arange(n_samples, dtype=jnp.int32))
@@ -105,9 +113,9 @@ def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_rows", "mean"))
 def _render_rows_jit(cfg, n_rows, *, scene, row_start, seed,
-                     sample_offset=0, mean=True):
+                     sample_offset=0, mean=True, acc0=None):
     return render_rows(scene, cfg, row_start, n_rows, seed,
-                       sample_offset=sample_offset, mean=mean)
+                       sample_offset=sample_offset, mean=mean, acc0=acc0)
 
 
 def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:

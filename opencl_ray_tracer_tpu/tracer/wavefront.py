@@ -40,9 +40,10 @@ class WaveState(NamedTuple):
 
 
 def render_rows_wavefront(scene: Scene, cfg, rows, cols, pixel_ids, seed,
-                          sample_offset, n_samples, hit_fn=None):
+                          sample_offset, n_samples, hit_fn=None, acc0=None):
     """Radiance sum over n_samples per pixel (R,3); divide by n_samples for
-    the mean.  rows/cols/pixel_ids: (R,) i32."""
+    the mean.  rows/cols/pixel_ids: (R,) i32.  acc0 optionally seeds the
+    running sum (see render.render_rows)."""
     r = pixel_ids.shape[0]
     width = jnp.float32(cfg.width)
     height = jnp.float32(cfg.height)
@@ -59,7 +60,8 @@ def render_rows_wavefront(scene: Scene, cfg, rows, cols, pixel_ids, seed,
     state = WaveState(
         o=o0, d=d0,
         throughput=jnp.ones((r, 3), jnp.float32),
-        acc=jnp.zeros((r, 3), jnp.float32),
+        acc=(jnp.zeros((r, 3), jnp.float32) if acc0 is None
+             else jnp.asarray(acc0, jnp.float32).reshape(-1, 3)),
         sample=jnp.full((r,), sample_offset, jnp.int32),
         depth=jnp.zeros((r,), jnp.int32))
 

@@ -163,6 +163,19 @@ def test_checkpoint_resume_identical(tmp_path):
                                atol=1e-6)
 
 
+def test_checkpoint_matches_plain_render_running_sum(tmp_path):
+    """Chunked/checkpointed rendering now seeds each chunk with the prior
+    running sum (acc0), so it reproduces render() exactly even under the
+    reference's running-sum NaN policy (ADVICE round 1)."""
+    scene = ort.readme_scene()
+    cfg = ort.RenderConfig(width=24, height=12, spp=6, max_depth=4,
+                           nan_policy="running_sum")
+    plain = ort.render(scene, cfg, seed=0)
+    ck = par.render_checkpointed(scene, cfg, str(tmp_path / "c.npz"),
+                                 seed=0, chunk_spp=2)
+    np.testing.assert_allclose(np.asarray(ck), np.asarray(plain), atol=1e-6)
+
+
 def test_mesh_describe():
     mesh = par.make_mesh(n_tile=4, n_sample=2)
     s = par.describe(mesh)
