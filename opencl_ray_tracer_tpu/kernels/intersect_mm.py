@@ -40,29 +40,31 @@ from ..tracer.intersect import BIG, TRI_EPS, HitInfo, closest_hit, hit_aabbs
 from ..tracer import mesh_accel as ma
 
 TILE_R = 512       # rays per grid cell
-CHUNK = 2048       # triangles per inner step ((TILE_R,16)@(16,8192))
+CHUNK = 2048       # triangles per inner step without a cluster plan
+PLAN_CHUNK = 512   # finer chunks when cluster-culling (tracer/clusters.py)
 NF = 16            # feature rows (10 used, padded)
 
 
-def _build_weights(scene: Scene):
-    """(NF, n_chunks*4*CHUNK) f32 weight table + per-chunk box mask."""
-    feats = ma.build_tri_features(scene, CHUNK)
+def _build_weights(scene: Scene, plan=None):
+    """(NF, n_chunks*4*chunk) f32 weight table + per-chunk box mask."""
+    chunk = plan.chunk if plan is not None else CHUNK
+    feats = ma.build_tri_features(scene, chunk, plan=plan)
     if feats is None:
         return None
-    # feats.weights: (n_chunks, 10, 4*CHUNK) -> pad rows to NF and flatten
+    # feats.weights: (n_chunks, 10, 4*chunk) -> pad rows to NF and flatten
     w = feats.weights
     n_chunks = feats.n_chunks
     w = jnp.pad(w, ((0, 0), (0, NF - w.shape[1]), (0, 0)))
-    w_flat = w.transpose(1, 0, 2).reshape(NF, n_chunks * 4 * CHUNK)
+    w_flat = w.transpose(1, 0, 2).reshape(NF, n_chunks * 4 * chunk)
     # which boxes appear in each chunk (traced-safe: scene may be a tracer)
-    box_id_c = feats.box_id.reshape(n_chunks, CHUNK)
+    box_id_c = feats.box_id.reshape(n_chunks, chunk)
     n_boxes = max(1, scene.boxes.count)  # static (array shape)
     chunk_box = jnp.stack(
         [(box_id_c == b).any(axis=1) for b in range(n_boxes)], axis=1)
     return feats, w_flat, chunk_box, n_chunks
 
 
-def _make_kernel(n_chunks: int, t_min: float):
+def _make_kernel(n_chunks: int, t_min: float, chunk: int):
     def kernel(fray_ref, w_ref, gate_ref, box_gate_ref, t_ref, idx_ref,
                best_ref, bidx_ref):
         i = pl.program_id(0)
@@ -73,13 +75,13 @@ def _make_kernel(n_chunks: int, t_min: float):
         for c in range(n_chunks):
             @pl.when(gate_ref[i, c] > 0)
             def _(c=c):
-                w = w_ref[:, c * 4 * CHUNK:(c + 1) * 4 * CHUNK]
+                w = w_ref[:, c * 4 * chunk:(c + 1) * 4 * chunk]
                 prod = jnp.dot(fray, w,
                                preferred_element_type=jnp.float32)
-                a = prod[:, 0 * CHUNK:1 * CHUNK]
-                u_num = prod[:, 1 * CHUNK:2 * CHUNK]
-                v_num = prod[:, 2 * CHUNK:3 * CHUNK]
-                t_num = prod[:, 3 * CHUNK:4 * CHUNK]
+                a = prod[:, 0 * chunk:1 * chunk]
+                u_num = prod[:, 1 * chunk:2 * chunk]
+                v_num = prod[:, 2 * chunk:3 * chunk]
+                t_num = prod[:, 3 * chunk:4 * chunk]
                 parallel = jnp.abs(a) < TRI_EPS      # gpu_kernel.cl:496
                 inv_a = 1.0 / jnp.where(parallel, 1.0, a)
                 u = u_num * inv_a
@@ -97,7 +99,7 @@ def _make_kernel(n_chunks: int, t_min: float):
                 ct = jnp.min(tt, axis=1)[:, None]
                 upd = ct < best_ref[:]
                 best_ref[:] = jnp.where(upd, ct, best_ref[:])
-                bidx_ref[:] = jnp.where(upd, c * CHUNK + ci, bidx_ref[:])
+                bidx_ref[:] = jnp.where(upd, c * chunk + ci, bidx_ref[:])
 
         t_ref[:] = best_ref[:]
         idx_ref[:] = bidx_ref[:]
@@ -108,6 +110,7 @@ def _make_kernel(n_chunks: int, t_min: float):
 def _pallas_closest_tri(feats, w_flat, chunk_box, n_chunks, scene, o, d,
                         box_hit, t_min, interpret):
     r = o.shape[0]
+    chunk = feats.chunk
     pad = (-r) % TILE_R
     n_tiles = (r + pad) // TILE_R
     m = jnp.cross(o, d)
@@ -116,22 +119,25 @@ def _pallas_closest_tri(feats, w_flat, chunk_box, n_chunks, scene, o, d,
          jnp.zeros((r, NF - 10), jnp.float32)], axis=1)
     f_ray = jnp.pad(f_ray, ((0, pad), (0, 0)))
 
-    # tile-level chunk gates: tile hits chunk iff any ray in the tile hits
-    # any box present in the chunk
     bh = jnp.pad(box_hit, ((0, pad), (0, 0)))              # (R_pad, B)
-    tile_box = bh.reshape(n_tiles, TILE_R, -1).any(axis=1)  # (n_tiles, B)
-    gates = (tile_box @ chunk_box.T.astype(tile_box.dtype)) \
-        .astype(jnp.int32)                                  # (n_tiles, n_chunks)
+    if feats.cluster_min is not None:
+        # Cluster culling: ray participates in a chunk iff it hits the
+        # chunk's (eps-padded) AABB AND the chunk's gating box (reference
+        # box semantics, gpu_kernel.cl:374-391 — exact per-chunk since the
+        # plan groups chunks by box id).
+        cl_hit = hit_aabbs(o, d, feats.cluster_min, feats.cluster_max)
+        cl_hit = jnp.pad(cl_hit, ((0, pad), (0, 0)))       # (R_pad, n_chunks)
+        bid = np.asarray(feats.chunk_box_id)
+        ray_chunk_gate = (cl_hit & bh[:, bid]).astype(jnp.int32)
+    else:
+        # a ray participates in chunk c iff it hits one of the chunk's boxes
+        ray_chunk_gate = (bh.astype(jnp.int32)
+                          @ chunk_box.T.astype(jnp.int32))  # (R_pad, n_chunks)
+    # tile-level chunk gates: tile runs a chunk iff any of its rays does
+    gates = (ray_chunk_gate.reshape(n_tiles, TILE_R, n_chunks)
+             .max(axis=1).astype(jnp.int32))                # (n_tiles, n_chunks)
 
-    # per-ray any-box gate (single-box scenes: box_hit itself)
-    ray_gate = jnp.pad(box_hit.any(axis=1).astype(jnp.int32)[:, None],
-                       ((0, pad), (0, 0)))
-    # broadcast per-chunk: a ray participates in chunk c iff it hits one of
-    # the chunk's boxes; exact per-box needs (R, n_chunks):
-    ray_chunk_gate = (bh.astype(jnp.int32)
-                      @ chunk_box.T.astype(jnp.int32))      # (R_pad, n_chunks)
-
-    kernel = _make_kernel(n_chunks, t_min)
+    kernel = _make_kernel(n_chunks, t_min, chunk)
     t_out, idx_out = pl.pallas_call(
         kernel,
         out_shape=[
@@ -164,10 +170,17 @@ def _pallas_closest_tri(feats, w_flat, chunk_box, n_chunks, scene, o, d,
 
 
 def make_pallas_hit_fn(scene: Scene, t_min: float = 1e-3,
-                       interpret: bool = False):
+                       interpret: bool = False, plan=None):
     """Estimator hit_fn using the fused Pallas intersection kernel.
-    Returns None when the scene has no triangles."""
-    built = _build_weights(scene)
+    Returns None when the scene has no triangles.
+
+    plan: optional clusters.MeshPlan for chunk-skip culling; when omitted it
+    is derived from the scene if concrete (inside jit the scene is traced
+    and the sequential-chunk fallback is used)."""
+    if plan is None:
+        from ..tracer.clusters import plan_for_scene
+        plan = plan_for_scene(scene, PLAN_CHUNK)
+    built = _build_weights(scene, plan)
     sphere_scene = dataclasses.replace(
         scene, triangles=scene.triangles.empty(),
         boxes=scene.boxes.empty())

@@ -1,0 +1,158 @@
+"""Spatial triangle clustering (BVH-leaf ordering) for chunk-skip culling.
+
+The reference tests every ray against every triangle behind a single
+mesh-level AABB (``gpu_kernel.cl:374-391``; a real BVH is on its own to-do
+list, ``README.md:62``).  A classic pointer-chasing BVH is hostile to TPUs —
+per-ray divergent traversal defeats both the VPU and the MXU.  The TPU-native
+formulation used here keeps the *dense chunked intersection* (MXU matmuls
+over fixed-size triangle chunks, tracer/mesh_accel.py) and makes the chunks
+**spatially coherent**:
+
+1. On the host (numpy, once per scene), triangles are ordered by a
+   median-split BVH over centroids (longest axis, recursing until a node
+   fits one chunk) — BVH *leaves become contiguous runs* of the triangle
+   array.
+2. Triangles are first grouped by ``box_id`` and each group padded to a
+   chunk multiple, so every fixed-size chunk has a single gating box
+   (reference semantics: a triangle is only tested when its box is hit).
+3. Each chunk gets a slightly padded AABB over its triangles.
+
+At render time a cheap per-ray x per-chunk slab test (``hit_aabbs``) gives a
+gate matrix; the Pallas kernels skip whole chunks no ray in a tile can hit
+(``@pl.when``), and mask per-ray accepts inside mixed tiles.  Culling is
+conservative: chunk AABBs are epsilon-padded so a triangle hit always
+implies its chunk-AABB hit, making the result identical to the brute-force
+scan (same accept tests, same closest-t fold).
+
+The plan is a *static* object (hashable: the permutation is carried as
+bytes) so it can thread through ``jax.jit`` as a static argument while the
+triangle arrays themselves stay traced/differentiable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class MeshPlan(NamedTuple):
+    """Static clustering plan (host-built, hashable — safe as a jit static
+    argument)."""
+
+    perm_bytes: bytes            # (n_chunks*chunk,) i32; -1 marks padding
+    chunk_box_id: tuple          # per-chunk gating box id
+    n_chunks: int
+    chunk: int
+    n_tris: int
+
+    @property
+    def perm(self) -> np.ndarray:
+        return np.frombuffer(self.perm_bytes, np.int32)
+
+
+def _bvh_order(idx: np.ndarray, cent: np.ndarray, leaf: int) -> list:
+    """Median-split ordering: recursively halve along the longest centroid
+    axis until nodes fit one chunk; returns index runs in BVH order."""
+    out = []
+    stack = [idx]
+    while stack:
+        ids = stack.pop()
+        if ids.size <= leaf:
+            out.append(ids)
+            continue
+        c = cent[ids]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        k = ids.size // 2
+        part = np.argpartition(c[:, ax], k)
+        # push right first so pops traverse left-to-right
+        stack.append(ids[part[k:]])
+        stack.append(ids[part[:k]])
+    return out
+
+
+def build_mesh_plan(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
+                    box_id: np.ndarray, chunk: int = 512) -> MeshPlan:
+    """Build the clustering plan from concrete (numpy) triangle data."""
+    t = p0.shape[0]
+    cent = (p0 + p1 + p2) / 3.0
+    order_parts = []
+    chunk_bids = []
+    for b in np.unique(box_id):
+        ids = np.nonzero(box_id == b)[0].astype(np.int32)
+        runs = _bvh_order(ids, cent, chunk)
+        grouped = np.concatenate(runs) if runs else ids
+        pad = (-grouped.size) % chunk
+        grouped = np.concatenate(
+            [grouped, np.full((pad,), -1, np.int32)])
+        order_parts.append(grouped)
+        chunk_bids.extend([int(b)] * (grouped.size // chunk))
+    perm = (np.concatenate(order_parts) if order_parts
+            else np.zeros((0,), np.int32))
+    return MeshPlan(perm_bytes=perm.astype(np.int32).tobytes(),
+                    chunk_box_id=tuple(chunk_bids),
+                    n_chunks=perm.size // chunk if chunk else 0,
+                    chunk=chunk, n_tris=t)
+
+
+_PLAN_CACHE: dict = {}
+
+
+def plan_for_scene(scene, chunk: int = 512) -> MeshPlan | None:
+    """Cached plan for a *concrete* scene; None when the scene has no
+    triangles or is a tracer (inside jit — callers fall back to the
+    sequential-chunk path)."""
+    tris = scene.triangles
+    if tris.count == 0:
+        return None
+    import jax.core
+    if any(isinstance(x, jax.core.Tracer)
+           for x in (tris.p0, tris.p1, tris.p2, tris.box_id)):
+        return None
+    p0 = np.asarray(tris.p0)
+    key = (hash((p0[:: max(1, p0.shape[0] // 64)].tobytes(),
+                 p0.shape[0], chunk)))
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    plan = build_mesh_plan(p0, np.asarray(tris.p1), np.asarray(tris.p2),
+                           np.asarray(tris.box_id), chunk)
+    if len(_PLAN_CACHE) > 32:
+        _PLAN_CACHE.clear()
+    _PLAN_CACHE[key] = plan
+    return plan
+
+
+def permute(x, plan: MeshPlan, fill=0.0):
+    """Apply the plan's ordering to a per-triangle array (traced ok);
+    padding rows (perm == -1) get ``fill``."""
+    perm = jnp.asarray(plan.perm)
+    safe = jnp.maximum(perm, 0)
+    out = jnp.take(jnp.asarray(x), safe, axis=0)
+    mask = (perm >= 0)
+    if out.ndim > 1:
+        mask = mask[:, None]
+    return jnp.where(mask, out, fill)
+
+
+def cluster_bounds(p0, p1, p2, plan: MeshPlan, rel_eps: float = 1e-4,
+                   abs_eps: float = 1e-5):
+    """Per-chunk AABBs over the *permuted* triangle positions (traced ok).
+
+    p0/p1/p2: (n_chunks*chunk, 3) already permuted, padding rows arbitrary.
+    Epsilon padding keeps the slab test conservative (the reference's strict
+    ``tmax > tmin`` would miss flat boxes, ``gpu_kernel.cl:534-555``).
+    Returns (cmin, cmax): (n_chunks, 3).
+    """
+    perm = jnp.asarray(plan.perm)
+    valid = (perm >= 0)[:, None]
+    pts = jnp.stack([p0, p1, p2], axis=1)          # (T_pad, 3, 3)
+    big = jnp.float32(3.4e38)
+    lo = jnp.where(valid[:, None], pts, big).min(axis=1)
+    hi = jnp.where(valid[:, None], pts, -big).max(axis=1)
+    cmin = lo.reshape(plan.n_chunks, plan.chunk, 3).min(axis=1)
+    cmax = hi.reshape(plan.n_chunks, plan.chunk, 3).max(axis=1)
+    ext = (cmax - cmin).max(axis=-1, keepdims=True)
+    pad = ext * rel_eps + abs_eps
+    return cmin - pad, cmax + pad

@@ -54,20 +54,58 @@ class TriFeatures(NamedTuple):
     box_id: jnp.ndarray    # (T_pad,) i32 (-1 for padding)
     n_chunks: int
     chunk: int
+    # Cluster-culling extras (tracer/clusters.py plan); None without a plan.
+    cluster_min: jnp.ndarray | None = None   # (n_chunks, 3)
+    cluster_max: jnp.ndarray | None = None   # (n_chunks, 3)
+    chunk_box_id: tuple | None = None        # per-chunk gating box id
 
 
-def build_tri_features(scene: Scene,
-                       chunk: int = MM_CHUNK) -> TriFeatures | None:
-    """Precompute the per-triangle matmul columns (once per scene)."""
+def build_tri_features(scene: Scene, chunk: int = MM_CHUNK,
+                       plan=None) -> TriFeatures | None:
+    """Precompute the per-triangle matmul columns (once per scene).
+
+    With a clusters.MeshPlan, triangles are reordered into spatially
+    coherent fixed-size chunks with per-chunk AABBs (enables chunk-skip
+    culling in the Pallas kernels); indices in the returned tables refer to
+    the permuted order.
+    """
     tris = scene.triangles
     t = tris.count
     if t == 0:
         return None
+    if plan is not None:
+        from .clusters import cluster_bounds, permute
+        assert plan.chunk == chunk and plan.n_tris == t
+        p0 = permute(tris.p0, plan)
+        p1 = permute(tris.p1, plan)
+        # degenerate padding (all-zero corners) never hits: a == 0 cull
+        p2 = permute(tris.p2, plan)
+        cmin, cmax = cluster_bounds(p0, p1, p2, plan)
+        return _features_from(
+            p0, p1, p2,
+            albedo=permute(tris.albedo, plan),
+            fuzz=permute(tris.fuzz, plan),
+            ior=permute(tris.ior, plan),
+            mat_type=permute(tris.mat_type, plan),
+            box_id=permute(tris.box_id, plan, fill=-1),
+            chunk=chunk, cluster_min=cmin, cluster_max=cmax,
+            chunk_box_id=plan.chunk_box_id)
     pad = (-t) % chunk
     p0 = jnp.pad(tris.p0, ((0, pad), (0, 0)))
     p1 = jnp.pad(tris.p1, ((0, pad), (0, 0)))
     # degenerate padding (p2 == p0) never hits: a == 0 -> parallel cull
     p2 = jnp.pad(tris.p2, ((0, pad), (0, 0)))
+    pad1 = lambda x, fill=0: jnp.pad(x, (0, pad), constant_values=fill)
+    return _features_from(
+        p0, p1, p2,
+        albedo=jnp.pad(tris.albedo, ((0, pad), (0, 0))),
+        fuzz=pad1(tris.fuzz), ior=pad1(tris.ior),
+        mat_type=pad1(tris.mat_type), box_id=pad1(tris.box_id, -1),
+        chunk=chunk)
+
+
+def _features_from(p0, p1, p2, albedo, fuzz, ior, mat_type, box_id, chunk,
+                   cluster_min=None, cluster_max=None, chunk_box_id=None):
     e0 = p1 - p0
     e1 = p2 - p0
     n = jnp.cross(e0, e1)                      # geometric normal
@@ -76,7 +114,7 @@ def build_tri_features(scene: Scene,
     v_d = -jnp.cross(p0, e0)
     t_bias = -jnp.sum(p0 * n, axis=-1)
 
-    tp = t + pad
+    tp = p0.shape[0]
     z3 = jnp.zeros((tp, 3), jnp.float32)
     z1 = jnp.zeros((tp, 1), jnp.float32)
     # rows: [d(3), m(3), o(3), 1] ; columns per quantity
@@ -94,17 +132,19 @@ def build_tri_features(scene: Scene,
         [chunk_w(w_a), chunk_w(w_u), chunk_w(w_v), chunk_w(w_t)], axis=2)
 
     nn = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-    pad1 = lambda x, fill=0: jnp.pad(x, (0, pad), constant_values=fill)
     return TriFeatures(
         weights=weights,
         normal=nn,
-        albedo=jnp.pad(tris.albedo, ((0, pad), (0, 0))),
-        fuzz=pad1(tris.fuzz),
-        ior=pad1(tris.ior),
-        mat_type=pad1(tris.mat_type),
-        box_id=pad1(tris.box_id, -1),
+        albedo=albedo,
+        fuzz=fuzz,
+        ior=ior,
+        mat_type=mat_type,
+        box_id=box_id,
         n_chunks=n_chunks,
         chunk=chunk,
+        cluster_min=cluster_min,
+        cluster_max=cluster_max,
+        chunk_box_id=chunk_box_id,
     )
 
 

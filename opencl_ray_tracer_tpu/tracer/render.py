@@ -40,7 +40,7 @@ def _sample_radiance(scene: Scene, cfg_static, rows, cols, pixel_ids,
 
 def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
                 sample_offset=0, spp=None, hit_fn=None, mean=True,
-                acc0=None):
+                acc0=None, mesh_plan=None):
     """Render n_rows image rows starting at row_start (traced scalar ok).
 
     Returns (n_rows, W, 3) mean radiance (or the raw radiance *sum* when
@@ -70,7 +70,8 @@ def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
         if use_pl:
             from ..kernels.intersect_mm import make_pallas_hit_fn
             hit_fn = make_pallas_hit_fn(scene, cfg.t_min,
-                                        interpret=not on_tpu)
+                                        interpret=not on_tpu,
+                                        plan=mesh_plan)
         elif use_mm:
             from .mesh_accel import make_mm_hit_fn
             hit_fn = make_mm_hit_fn(scene, cfg.t_min,
@@ -111,11 +112,13 @@ def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
     return acc.reshape(n_rows, width, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_rows", "mean"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_rows", "mean", "mesh_plan"))
 def _render_rows_jit(cfg, n_rows, *, scene, row_start, seed,
-                     sample_offset=0, mean=True, acc0=None):
+                     sample_offset=0, mean=True, acc0=None, mesh_plan=None):
     return render_rows(scene, cfg, row_start, n_rows, seed,
-                       sample_offset=sample_offset, mean=mean, acc0=acc0)
+                       sample_offset=sample_offset, mean=mean, acc0=acc0,
+                       mesh_plan=mesh_plan)
 
 
 def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:
@@ -133,6 +136,10 @@ def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:
         if supports(scene, cfg) and (cfg.backend == "pallas" or on_tpu):
             return render_pallas(scene, cfg, seed=seed,
                                  interpret=not on_tpu)
+        from ..kernels.megamesh import render_pallas_mesh, supports_mesh
+        if supports_mesh(scene, cfg) and (cfg.backend == "pallas" or on_tpu):
+            return render_pallas_mesh(scene, cfg, seed=seed,
+                                      interpret=not on_tpu)
     chunk = cfg.row_chunk or cfg.height
     if (cfg.row_chunk is None and scene.triangles.count > 0
             and jax.default_backend() != "tpu"):
@@ -148,11 +155,18 @@ def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:
                 chunk = div
                 break
     assert cfg.height % chunk == 0, "row_chunk must divide height"
+    # Cluster plan for mesh scenes (host BVH build, cached per scene): must
+    # be derived OUTSIDE jit — scenes are traced inside _render_rows_jit.
+    mesh_plan = None
+    if scene.triangles.count > 0:
+        from .clusters import plan_for_scene
+        mesh_plan = plan_for_scene(scene)
     out = []
     for r0 in range(0, cfg.height, chunk):
         out.append(_render_rows_jit(cfg, chunk, scene=scene,
                                     row_start=jnp.int32(r0),
-                                    seed=jnp.uint32(seed)))
+                                    seed=jnp.uint32(seed),
+                                    mesh_plan=mesh_plan))
     return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)
 
 
