@@ -233,7 +233,8 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                 def slab(bref, b):
                     """Per-lane AABB slab test (HitBoundingBox,
                     gpu_kernel.cl:534-555; fmin/fmax NaN-ignoring is moot
-                    here: inv_d inf, not NaN, off-axis)."""
+                    here: inv_d inf, not NaN, off-axis).  Returns
+                    (hit, entry_t)."""
                     t1x = (bref[b, 0] - ox) * inv_dx
                     t2x = (bref[b, 3] - ox) * inv_dx
                     t1y = (bref[b, 1] - oy) * inv_dy
@@ -246,9 +247,9 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                     hi = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                                  jnp.maximum(t1y, t2y)),
                                      jnp.maximum(t1z, t2z))
-                    return hi > jnp.maximum(lo, 0.0)
+                    return hi > jnp.maximum(lo, 0.0), lo
 
-                box_hits = [slab(box_ref, b) & active
+                box_hits = [slab(box_ref, b)[0] & active
                             for b in range(n_boxes)]
                 top_any = jnp.max(sum(bh.astype(jnp.int32)
                                       for bh in box_hits))
@@ -258,7 +259,15 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                     ones_row = jnp.ones((1, LANES), jnp.float32)
                     zeros_rows = jnp.zeros((6, LANES), jnp.float32)
                     for ci in range(n_chunks):
-                        m_c = slab(aabb_ref, ci) & box_hits[chunk_box_ids[ci]]
+                        cl_hit, cl_lo = slab(aabb_ref, ci)
+                        # entry-t culling: a cluster whose AABB entry lies
+                        # beyond the closest sphere hit (or the running
+                        # triangle best) cannot win — for the reference
+                        # scene this skips the car for every ray that hits
+                        # the ground sphere first.  Conservative: cl_lo <=
+                        # any contained triangle t.
+                        m_c = (cl_hit & box_hits[chunk_box_ids[ci]]
+                               & (cl_lo < jnp.minimum(best_t, tri_sc[0])))
                         # per-lane gate staged through scratch for the
                         # row loop's dynamic slicing
                         tri_sc[7] = m_c.astype(jnp.float32)
@@ -290,25 +299,52 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                                 u_num = prod[1 * chunk:2 * chunk, :]
                                 v_num = prod[2 * chunk:3 * chunk, :]
                                 t_num = prod[3 * chunk:4 * chunk, :]
-                                par = jnp.abs(aa) < 1e-5   # TRI_EPS
-                                ia = 1.0 / jnp.where(par, 1.0, aa)
-                                u = u_num * ia
-                                v = v_num * ia
-                                tt = t_num * ia
-                                ok = (~par
-                                      & (u >= 0.0) & (u <= 1.0)
-                                      & (v >= 0.0) & (u + v <= 1.0)
-                                      & (tt > t_min)
-                                      & (tri_sc[7, r1, :] > 0.0))
-                                tt = jnp.where(ok, tt, BIG)
-                                ct = jnp.min(tt, axis=0, keepdims=True)
+                                # Division-free scaled Moller-Trumbore:
+                                # with s = sign(a), u = u_num/a in [0,1]
+                                # <=> 0 <= u_num*s <= |a| etc.  One
+                                # approximate reciprocal orders t within
+                                # the chunk; the winner's t is Newton-
+                                # refined to full f32 (exact semantics,
+                                # ~30% fewer VPU ops/pair than the
+                                # divide form).
+                                sgn_a = jnp.sign(aa)
+                                abs_a = aa * sgn_a
+                                us = u_num * sgn_a
+                                vs = v_num * sgn_a
+                                ts = t_num * sgn_a
+                                gate = tri_sc[7, r1, :] > 0.0
+                                ok = ((abs_a >= 1e-5)          # TRI_EPS
+                                      & (us >= 0.0) & (us <= abs_a)
+                                      & (vs >= 0.0) & (us + vs <= abs_a)
+                                      & (ts > t_min * abs_a)
+                                      & gate)
+                                ra = pl.reciprocal(
+                                    jnp.maximum(abs_a, 1e-30), approx=True)
+                                # one Newton step: ~2^-24 relative, so the
+                                # in-chunk argmin ordering matches the
+                                # exact-divide fold
+                                ra = ra * (2.0 - abs_a * ra)
+                                tt = jnp.where(ok, ts * ra, BIG)
+                                ct_a = jnp.min(tt, axis=0, keepdims=True)
                                 ai = jnp.argmin(tt, axis=0)
                                 oh = (jax.lax.broadcasted_iota(
                                     jnp.int32, (chunk, LANES), 0)
                                     == ai[None, :]).astype(jnp.float32)
+                                # winner rows: [nx, ny, nz] via the weight
+                                # table + exact t via Newton-refined recip
                                 nrm = jax.lax.dot_general(
                                     n_cols, oh, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
+                                ts_w = jnp.sum(ts * oh, axis=0,
+                                               keepdims=True)
+                                aa_w = jnp.sum(abs_a * oh, axis=0,
+                                               keepdims=True)
+                                ra_w = pl.reciprocal(
+                                    jnp.maximum(aa_w, 1e-30), approx=True)
+                                ra_w = ra_w * (2.0 - aa_w * ra_w)
+                                ra_w = ra_w * (2.0 - aa_w * ra_w)
+                                ct = jnp.where(ct_a < BIG, ts_w * ra_w,
+                                               BIG)
                                 old = tri_sc[0, r1, :]
                                 upd = ct < old
                                 tri_sc[0, r1, :] = jnp.where(upd, ct, old)

@@ -95,14 +95,17 @@ def _bounce_step(scene: Scene, t_min, pixel_ids, sample_id, seed,
 
 def trace(scene: Scene, o, d, pixel_ids, sample_id, seed, max_depth,
           t_min=1e-3, early_stop=False, first_bounce=0, throughput=None,
-          hit_fn=None):
+          hit_fn=None, remat=False):
     """Trace a ray batch to completion; returns per-ray radiance (R,3).
 
     early_stop=True uses lax.while_loop with an any-alive condition (forward
     only); False uses a fixed-depth lax.scan (reverse-differentiable).
     first_bounce offsets the RNG slot numbering (used by the soft renderer,
     which consumes bounce-0 draws itself); throughput optionally seeds the
-    path throughput (default ones).
+    path throughput (default ones).  remat=True checkpoints each bounce
+    step (reverse pass stores only the (R,16)-float carry per bounce and
+    recomputes intermediates — the recompute-vs-store trade of SURVEY.md §7
+    hard part (e)).
     """
     r = o.shape[0]
     state = TraceState(
@@ -119,6 +122,8 @@ def trace(scene: Scene, o, d, pixel_ids, sample_id, seed, max_depth,
 
     step = lambda s: _bounce_step(scene, t_min, pixel_ids, sample_id, seed,
                                   s, first_bounce, hit_fn)
+    if remat:
+        step = jax.checkpoint(step)
 
     if early_stop:
         state = jax.lax.while_loop(

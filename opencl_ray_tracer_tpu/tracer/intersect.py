@@ -154,12 +154,10 @@ def _pad_triangles(tris, chunk):
     return p0, p1, p2, box_id, (t + pad) // chunk
 
 
-def closest_hit(scene: Scene, o, d, t_min) -> HitInfo:
-    """Closest hit over all spheres + AABB-gated triangles.
-
-    o, d: (R,3).  Mirrors HitAnything (gpu_kernel.cl:358-394): spheres are
-    scanned first, then triangles gated by their bounding box.
-    """
+def closest_fold(scene: Scene, o, d, t_min):
+    """Winner search: (best_t, best_kind, best_idx) over spheres +
+    AABB-gated triangles (the closestSoFar fold, gpu_kernel.cl:358-394).
+    kind 0 = sphere, 1 = triangle; best_t == BIG means miss."""
     r = o.shape[0]
     spheres, tris, boxes = scene.spheres, scene.triangles, scene.boxes
 
@@ -222,6 +220,19 @@ def closest_hit(scene: Scene, o, d, t_min) -> HitInfo:
         best_t = jnp.where(upd, tri_t, best_t)
         best_kind = jnp.where(upd, 1, best_kind)
         best_idx = jnp.where(upd, tri_idx, best_idx)
+
+    return best_t, best_kind, best_idx
+
+
+def closest_hit(scene: Scene, o, d, t_min) -> HitInfo:
+    """Closest hit over all spheres + AABB-gated triangles.
+
+    o, d: (R,3).  Mirrors HitAnything (gpu_kernel.cl:358-394): spheres are
+    scanned first, then triangles gated by their bounding box.
+    """
+    r = o.shape[0]
+    spheres, tris = scene.spheres, scene.triangles
+    best_t, best_kind, best_idx = closest_fold(scene, o, d, t_min)
 
     hit = best_t < BIG
     # Safe-select before compute: miss lanes would otherwise produce

@@ -26,7 +26,7 @@ from .estimator import accumulate_sample, trace
 
 
 def _sample_radiance(scene: Scene, cfg_static, rows, cols, pixel_ids,
-                     sample_id, seed, hit_fn=None):
+                     sample_id, seed, hit_fn=None, remat=False):
     """Radiance of one sample for each listed pixel. rows/cols: (R,) i32."""
     width, height, max_depth, t_min, early_stop = cfg_static
     # One pcg4d hash per (pixel, sample) covers pixel jitter + lens sample.
@@ -35,12 +35,13 @@ def _sample_radiance(scene: Scene, cfg_static, rows, cols, pixel_ids,
     vv = (rows.astype(jnp.float32) + u1) / jnp.float32(height)
     o, d = make_rays(scene.camera, uu, vv, u2, u3)
     return trace(scene, o, d, pixel_ids, sample_id, seed, max_depth,
-                 t_min=t_min, early_stop=early_stop, hit_fn=hit_fn)
+                 t_min=t_min, early_stop=early_stop, hit_fn=hit_fn,
+                 remat=remat)
 
 
 def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
                 sample_offset=0, spp=None, hit_fn=None, mean=True,
-                acc0=None, mesh_plan=None):
+                acc0=None, mesh_plan=None, remat=False):
     """Render n_rows image rows starting at row_start (traced scalar ok).
 
     Returns (n_rows, W, 3) mean radiance (or the raw radiance *sum* when
@@ -98,10 +99,15 @@ def render_rows(scene: Scene, cfg: RenderConfig, row_start, n_rows, seed,
     else:
         def body(acc, sample_id):
             colour = _sample_radiance(scene, cfg_static, rows, cols,
-                                      pixel_ids, sample_id, seed, hit_fn)
+                                      pixel_ids, sample_id, seed, hit_fn,
+                                      remat=remat)
             return accumulate_sample(acc, colour, cfg.nan_policy,
                                      cfg.clamp_samples), None
 
+        if remat:
+            # reverse pass stores only the running sum per sample and
+            # replays each sample's bounce scan
+            body = jax.checkpoint(body)
         acc = (jnp.zeros((n_rows * width, 3), jnp.float32) if acc0 is None
                else jnp.asarray(acc0, jnp.float32).reshape(-1, 3))
         acc, _ = jax.lax.scan(
@@ -170,16 +176,96 @@ def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:
     return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)
 
 
-def render_and_grad(scene: Scene, cfg: RenderConfig, loss_fn, seed: int = 0):
+def render_and_grad(scene: Scene, cfg: RenderConfig, loss_fn, seed: int = 0,
+                    fast_hit: bool = True, remat: bool = False):
     """Differentiable render: returns (loss, grads) where grads is a Scene
     pytree cotangent.  Forces the scan path (early_stop off) so the bounce
-    loop is reverse-differentiable."""
+    loop is reverse-differentiable.
+
+    fast_hit uses the winner-only differentiable hit (tracer/diffhit.py):
+    same values and gradients as brute-force autodiff, backward cost
+    independent of scene size.  remat checkpoints the sample/bounce scans
+    (needed for large configs)."""
     dcfg = cfg.replace(early_stop=False)
 
     def objective(s):
+        hit_fn = None
+        if fast_hit:
+            from .diffhit import make_grad_hit_fn
+            hit_fn = make_grad_hit_fn(s, dcfg.t_min)
         img = render_rows(s, dcfg, jnp.int32(0), dcfg.height,
-                          jnp.uint32(seed))
+                          jnp.uint32(seed), hit_fn=hit_fn, remat=remat)
         return loss_fn(img)
 
     # allow_int: integer leaves (mat_type, box_id) get float0 cotangents.
     return jax.value_and_grad(objective, allow_int=True)(scene)
+
+
+def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
+                        seed: int = 0, spp_chunk: int = 25,
+                        row_chunk: int | None = None,
+                        winner_backend: str = "auto"):
+    """Full-scale differentiable render: (loss, image, grads).
+
+    The radiance mean is linear in per-sample contributions, so scene
+    gradients accumulate over (row-block, sample-chunk) VJP calls:
+
+        img    = forward render (fast path: megakernel where supported)
+        g_img  = dL/dimg from the forward image
+        grads  = sum_chunks VJP[render_rows(chunk, sum-mode)](g_img / spp)
+
+    Bounded memory at any (width, height, spp): each VJP sees spp_chunk
+    samples x row_chunk rows with sample+bounce rematerialization and the
+    winner-only hit (Pallas winner search on TPU).  NaN handling inside a
+    chunk uses the order-invariant "zero" policy (the running-sum quirk is
+    not sample-linear; NaN-free scenes are unaffected).
+    """
+    h, w = cfg.height, cfg.width
+    img = render(scene, cfg, seed=seed)
+    loss, g_img = jax.value_and_grad(
+        lambda im: loss_fn(im))(img)
+
+    if row_chunk is None:
+        row_chunk = h
+        target = 2 ** 17  # rays per VJP call
+        for div in range(h, 0, -1):
+            if h % div == 0 and div * w <= target:
+                row_chunk = div
+                break
+    dcfg = cfg.replace(early_stop=False, nan_policy="zero")
+    on_tpu = jax.default_backend() == "tpu"
+    if winner_backend == "auto":
+        winner_backend = "pallas" if (on_tpu and scene.triangles.count > 0) \
+            else "jnp"
+    mesh_plan = None
+    if scene.triangles.count > 0:
+        from .clusters import plan_for_scene
+        from ..kernels.intersect_mm import PLAN_CHUNK
+        mesh_plan = plan_for_scene(scene, PLAN_CHUNK)
+
+    @functools.partial(jax.jit, static_argnames=("n_rows", "n_spp"))
+    def chunk_vjp(s, row_start, sample_offset, g_rows, n_rows, n_spp):
+        def fn(s):
+            from .diffhit import make_grad_hit_fn
+            hit_fn = make_grad_hit_fn(
+                s, dcfg.t_min, winner_backend=winner_backend,
+                mesh_plan=mesh_plan, interpret=not on_tpu)
+            return render_rows(s, dcfg, row_start, n_rows, jnp.uint32(seed),
+                               sample_offset=sample_offset, spp=n_spp,
+                               hit_fn=hit_fn, mean=False, remat=True)
+        _, vjp = jax.vjp(fn, s)
+        return vjp(g_rows / jnp.float32(cfg.spp))[0]
+
+    def _acc(a, b):
+        if hasattr(a, "dtype") and a.dtype == jax.dtypes.float0:
+            return a      # integer leaves (mat_type, box_id)
+        return a + b
+
+    grads = None
+    for r0 in range(0, h, row_chunk):
+        for s0 in range(0, cfg.spp, spp_chunk):
+            n_spp = min(spp_chunk, cfg.spp - s0)
+            g = chunk_vjp(scene, jnp.int32(r0), jnp.int32(s0),
+                          g_img[r0:r0 + row_chunk], row_chunk, n_spp)
+            grads = g if grads is None else jax.tree.map(_acc, grads, g)
+    return loss, img, grads
