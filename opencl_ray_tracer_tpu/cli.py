@@ -90,15 +90,18 @@ def main(argv=None) -> int:
         scene = _build_scene(args.scene)
 
     with timer.phase("render"):
-        if args.checkpoint or args.progress_image:
+        if args.checkpoint:
             from .parallel import render_checkpointed
-            import tempfile, os
-            ckpt = args.checkpoint or os.path.join(
-                tempfile.gettempdir(), "oclrt_render_ckpt.npz")
             progress = ProgressReporter(args.progress_image)
-            img = render_checkpointed(scene, cfg, ckpt, seed=args.seed,
+            img = render_checkpointed(scene, cfg, args.checkpoint,
+                                      seed=args.seed,
                                       chunk_spp=args.chunk_spp,
                                       progress=progress)
+        elif args.progress_image:
+            # plain render with the reference's per-block growing image
+            # (main.cpp:263-265): row blocks through the fast path
+            progress = ProgressReporter(args.progress_image)
+            img = render(scene, cfg, seed=args.seed, progress=progress)
         else:
             img = render(scene, cfg, seed=args.seed)
         import jax

@@ -39,8 +39,8 @@ from ..scene import Scene
 from ..tracer.intersect import BIG, TRI_EPS, HitInfo, closest_hit, hit_aabbs
 from ..tracer import mesh_accel as ma
 
-TILE_R = 256       # rays per grid cell (512 overflows scoped VMEM with the
-                   # chunked weight table + epilogue temps double-buffered)
+TILE_R = 128       # rays per grid cell (256+ overflows the 16 MB scoped
+                   # VMEM: resident weight table + epilogue temps)
 CHUNK = 2048       # triangles per inner step without a cluster plan
 PLAN_CHUNK = 512   # finer chunks when cluster-culling (tracer/clusters.py)
 NF = 16            # feature rows (10 used, padded)

@@ -100,14 +100,22 @@ def _make_kernel(n_spheres: int, width: int, height: int,
         else:
             st, acc, tri_sc = rest[0], rest[1], rest[2]
             rec = None
-        tile = pl.program_id(0)
+        # 2-D image tiles (TILE_ROWS x LANES pixel blocks): primary rays in
+        # a tile are spatially compact, so the per-tile cluster gates
+        # actually fire — a linear 8192-pixel tile spans the full image
+        # width and defeats culling (measured 11.3 s -> see ARCHITECTURE).
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
         shape = (TILE_ROWS, LANES)
-        lin = (off_ref[0, 0] + tile * TILE
-               + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
-               + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        px_i = (tj * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        py_i = (off_ref[0, 0] + ti * TILE_ROWS
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+        valid = (px_i < width) & (py_i < off_ref[0, 3])
+        lin = py_i * width + px_i
         pix_u = lin.astype(_U32)
-        px = (lin % width).astype(jnp.float32)
-        py = (lin // width).astype(jnp.float32)
+        px = px_i.astype(jnp.float32)
+        py = py_i.astype(jnp.float32)
         sample_base = off_ref[0, 2]
 
         def cam(i):
@@ -116,6 +124,7 @@ def _make_kernel(n_spheres: int, width: int, height: int,
         seed_arr = jnp.zeros(shape, _U32) + off_ref[0, 1].astype(_U32)
         zero = jnp.zeros(shape, jnp.float32)
         one = zero + 1.0
+        spp_f_init = jnp.float32(spp)
 
         def camera_ray(sample_f):
             """GetRay (gpu_kernel.cl:559-578); sample ids are global
@@ -153,7 +162,8 @@ def _make_kernel(n_spheres: int, width: int, height: int,
         st[S_TR] = one
         st[S_TG] = one
         st[S_TB] = one
-        st[S_SAMPLE] = zero
+        # out-of-image padding lanes start exhausted (never traced)
+        st[S_SAMPLE] = jnp.where(valid, 0.0, spp_f_init)
         st[S_DEPTH] = zero
         acc[0] = zero
         acc[1] = zero
@@ -282,6 +292,17 @@ def _make_kernel(n_spheres: int, width: int, height: int,
 
                             def row(r, _):
                                 r1 = pl.ds(r, 1)
+                                # 128-pixel-granular gate: bounced rays
+                                # lose tile coherence; skip rows where no
+                                # lane can hit this cluster
+                                row_any = jnp.max(tri_sc[7, r1, :])
+
+                                @pl.when(row_any > 0.0)
+                                def _row_body():
+                                    _intersect_row(r1)
+                                return 0
+
+                            def _intersect_row(r1):
                                 f = jnp.concatenate([
                                     st[S_DX, r1, :], st[S_DY, r1, :],
                                     st[S_DZ, r1, :],
@@ -721,48 +742,54 @@ def render_pallas_mesh(scene: Scene, cfg: RenderConfig, seed: int = 0,
 
 def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
                              interpret, flags, plan, rows, pix_offset):
-    """Trace-safe fused-kernel call (flags/plan precomputed concretely)."""
+    """Trace-safe fused-kernel call (flags/plan precomputed concretely).
+
+    pix_offset must be a whole-row offset (a multiple of width) — the
+    sharded entry point passes row-block offsets.
+    """
     has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type = flags
     hdr = scene.sky.kind == KIND_HDR
-    n_pix = cfg.width * rows
-    n_tiles = -(-n_pix // TILE)
+    n_tr = -(-rows // TILE_ROWS)
+    n_tc = -(-cfg.width // LANES)
+    hp, wp = n_tr * TILE_ROWS, n_tc * LANES
     w_flat, aabb, boxes, n_chunks, chunk, bids = _mesh_tables(scene, plan)
     n_boxes = max(1, scene.boxes.count)
     cam_tab = _mesh_camera_table(scene)
     sph_tab = _sphere_table(scene)
+    row_offset = pix_offset // cfg.width
 
-    acc = jnp.zeros((3, n_tiles * TILE_ROWS, LANES), jnp.float32)
-    sky_sum = jnp.zeros((n_tiles * TILE_ROWS * LANES, 3), jnp.float32)
+    acc = jnp.zeros((3, hp, wp), jnp.float32)
+    sky_sum = jnp.zeros((hp, wp, 3), jnp.float32)
     spp_step = HDR_SPP_CHUNK if hdr else cfg.spp
     for s_base in range(0, cfg.spp, spp_step):
         spp_c = min(spp_step, cfg.spp - s_base)
-        out = _dispatch(scene, cfg, seed, interpret, flags, plan, rows,
-                        pix_offset, s_base, spp_c, n_tiles, w_flat, aabb,
-                        boxes, n_chunks, chunk, bids, n_boxes, cam_tab,
-                        sph_tab, hdr)
+        out = _dispatch(scene, cfg, seed, interpret, flags, rows,
+                        row_offset, s_base, spp_c, n_tr, n_tc, w_flat,
+                        aabb, boxes, n_chunks, chunk, bids, n_boxes,
+                        cam_tab, sph_tab, hdr)
         if hdr:
             r, g, b, recs = out
             # epilogue: sum_s throughput_s * sky(direction_s) with XLA's
             # native gathers (exact: clamp is a no-op, see module docstring)
-            rec = recs.reshape(spp_c, 6, n_tiles * TILE_ROWS, LANES)
-            thr = rec[:, 0:3].transpose(0, 2, 3, 1).reshape(spp_c, -1, 3)
-            dirs = rec[:, 3:6].transpose(0, 2, 3, 1).reshape(spp_c, -1, 3)
+            rec = recs.reshape(spp_c, 6, hp, wp)
+            thr = rec[:, 0:3].transpose(0, 2, 3, 1)      # (spp,hp,wp,3)
+            dirs = rec[:, 3:6].transpose(0, 2, 3, 1)
             sky = sky_colour(scene.sky, dirs)
             sky_sum = sky_sum + jnp.sum(thr * sky, axis=0)
         else:
             r, g, b = out
         acc = acc + jnp.stack([r, g, b])
 
-    img = acc.transpose(1, 2, 0).reshape(-1, 3)
+    img = acc.transpose(1, 2, 0)
     if hdr:
         img = img + sky_sum
     img = img * jnp.float32(1.0 / cfg.spp)
-    return img[:n_pix].reshape(rows, cfg.width, 3)
+    return img[:rows, :cfg.width]
 
 
-def _dispatch(scene, cfg, seed, interpret, flags, plan, rows, pix_offset,
-              s_base, spp_c, n_tiles, w_flat, aabb, boxes, n_chunks, chunk,
-              bids, n_boxes, cam_tab, sph_tab, hdr):
+def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
+              s_base, spp_c, n_tr, n_tc, w_flat, aabb, boxes, n_chunks,
+              chunk, bids, n_boxes, cam_tab, sph_tab, hdr):
     has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type = flags
     kernel = _make_kernel(
         n_spheres=scene.spheres.count, width=cfg.width, height=cfg.height,
@@ -773,10 +800,10 @@ def _dispatch(scene, cfg, seed, interpret, flags, plan, rows, pix_offset,
         n_chunks=n_chunks, chunk=chunk, chunk_box_ids=bids,
         n_boxes=n_boxes, mesh_mtype=m_type)
 
-    tile_shape = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES),
-                                      jnp.float32)
+    hp, wp = n_tr * TILE_ROWS, n_tc * LANES
+    tile_shape = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
     out_shape = [tile_shape, tile_shape, tile_shape]
-    out_specs = [pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+    out_specs = [pl.BlockSpec((TILE_ROWS, LANES), lambda i, j: (i, j),
                               memory_space=pltpu.VMEM) for _ in range(3)]
     scratch = [
         pltpu.VMEM((N_STATE, TILE_ROWS, LANES), jnp.float32),
@@ -785,23 +812,23 @@ def _dispatch(scene, cfg, seed, interpret, flags, plan, rows, pix_offset,
     ]
     if hdr:
         out_shape.append(jax.ShapeDtypeStruct(
-            (6 * spp_c, n_tiles * TILE_ROWS, LANES), jnp.float32))
+            (6 * spp_c, hp, wp), jnp.float32))
         out_specs.append(pl.BlockSpec((6 * spp_c, TILE_ROWS, LANES),
-                                      lambda i: (0, i, 0),
+                                      lambda i, j: (0, i, j),
                                       memory_space=pltpu.VMEM))
 
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(n_tiles,),
+        grid=(n_tr, n_tc),
         in_specs=[
-            pl.BlockSpec((1, 3), lambda i: (0, 0),
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+            pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+            pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, w_flat.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((16, w_flat.shape[1]), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),   # top boxes
@@ -809,8 +836,9 @@ def _dispatch(scene, cfg, seed, interpret, flags, plan, rows, pix_offset,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(jnp.stack([jnp.int32(pix_offset), jnp.int32(seed),
-                 jnp.int32(s_base)]).reshape(1, 3),
+    )(jnp.stack([jnp.int32(row_offset), jnp.int32(seed),
+                 jnp.int32(s_base),
+                 jnp.int32(row_offset) + jnp.int32(rows)]).reshape(1, 4),
       cam_tab, sph_tab, w_flat, aabb, boxes)
 
 

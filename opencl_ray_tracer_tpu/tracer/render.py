@@ -127,15 +127,25 @@ def _render_rows_jit(cfg, n_rows, *, scene, row_start, seed,
                        mesh_plan=mesh_plan)
 
 
-def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:
+def render(scene: Scene, cfg: RenderConfig, seed: int = 0,
+           progress=None, progress_blocks: int = 8) -> jnp.ndarray:
     """Render the full image; returns (H, W, 3) f32 radiance in [0,1],
     row 0 = image bottom.
 
     Backend dispatch: cfg.backend "pallas" (or "auto" on a TPU) routes
     supported scenes through the VMEM-resident Pallas megakernel
-    (kernels/megakernel.py); everything else uses the jnp lax.scan tracer,
+    (kernels/megakernel.py for sphere scenes, kernels/megamesh.py for
+    mesh/HDR scenes); everything else uses the jnp lax.scan tracer,
     row-chunked to bound peak memory.
+
+    progress: optional callback ``progress(rows_done, total_rows, img)``
+    called after each of ``progress_blocks`` row blocks with the partial
+    (H, W, 3) canvas — the TPU-native analog of the reference's per-block
+    full-frame BMP rewrite (``main.cpp:263-265``), on every backend.
     """
+    if progress is not None:
+        return _render_progressive(scene, cfg, seed, progress,
+                                   progress_blocks)
     if cfg.backend in ("pallas", "auto"):
         from ..kernels.megakernel import render_pallas, supports
         on_tpu = jax.default_backend() in ("tpu",)
@@ -174,6 +184,52 @@ def render(scene: Scene, cfg: RenderConfig, seed: int = 0) -> jnp.ndarray:
                                     seed=jnp.uint32(seed),
                                     mesh_plan=mesh_plan))
     return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)
+
+
+def _render_progressive(scene: Scene, cfg: RenderConfig, seed, progress,
+                        progress_blocks: int):
+    """Row-block progressive render: each block takes the scene's fast path
+    (megakernel / megamesh / jnp) with a global pixel offset, so the final
+    image is identical to a monolithic render (counter RNG)."""
+    import numpy as np
+    h, w = cfg.height, cfg.width
+    block = max(1, -(-h // max(1, progress_blocks)))
+    canvas = np.zeros((h, w, 3), np.float32)
+
+    use_kernel = None
+    if cfg.backend in ("pallas", "auto"):
+        on_tpu = jax.default_backend() == "tpu"
+        interp = not on_tpu
+        if cfg.backend == "pallas" or on_tpu:
+            from ..kernels.megakernel import render_pallas, supports
+            from ..kernels.megamesh import render_pallas_mesh, supports_mesh
+            if supports(scene, cfg):
+                use_kernel = lambda r0, n: render_pallas(
+                    scene, cfg, seed=seed, interpret=interp, rows=n,
+                    pix_offset=r0 * w)
+            elif supports_mesh(scene, cfg):
+                use_kernel = lambda r0, n: render_pallas_mesh(
+                    scene, cfg, seed=seed, interpret=interp, rows=n,
+                    pix_offset=r0 * w)
+    mesh_plan = None
+    if use_kernel is None and scene.triangles.count > 0:
+        from .clusters import plan_for_scene
+        mesh_plan = plan_for_scene(scene)
+
+    done = 0
+    for r0 in range(0, h, block):
+        n = min(block, h - r0)
+        if use_kernel is not None:
+            part = use_kernel(r0, n)
+        else:
+            part = _render_rows_jit(cfg, n, scene=scene,
+                                    row_start=jnp.int32(r0),
+                                    seed=jnp.uint32(seed),
+                                    mesh_plan=mesh_plan)
+        canvas[r0:r0 + n] = np.asarray(part)
+        done += n
+        progress(done, h, canvas)
+    return jnp.asarray(canvas)
 
 
 def render_and_grad(scene: Scene, cfg: RenderConfig, loss_fn, seed: int = 0,

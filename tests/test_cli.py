@@ -70,3 +70,32 @@ def test_cli_render_with_checkpoint_and_progress(tmp_path):
     assert os.path.exists(ckpt)
     assert os.path.exists(prog)
     assert "Rendered 4 / 4 samples" in r.stderr
+
+
+def test_cli_render_progress_without_checkpoint(tmp_path):
+    # plain render + --progress-image: the per-row-block growing image
+    # (reference main.cpp:263-265), no checkpoint file involved
+    out = str(tmp_path / "out.png")
+    prog = str(tmp_path / "progress.png")
+    r = _run(["render", "--scene", "readme", "--width", "64", "--height",
+              "32", "--spp", "2", "--max-depth", "3", "--cpu",
+              "--progress-image", prog, "-o", out], REPO)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(prog)
+    assert "Rendered 32 / 32" in r.stderr
+
+
+def test_progressive_render_matches_plain():
+    import numpy as np
+    import opencl_ray_tracer_tpu as ort
+
+    scene = ort.readme_scene()
+    cfg = ort.RenderConfig(width=48, height=24, spp=2, max_depth=3)
+    plain = np.asarray(ort.render(scene, cfg, seed=0))
+    calls = []
+    prog = np.asarray(ort.render(
+        scene, cfg, seed=0,
+        progress=lambda done, total, img: calls.append((done, total))))
+    np.testing.assert_allclose(prog, plain, atol=1e-6)
+    assert calls[-1][0] == calls[-1][1] == 24
+    assert len(calls) >= 2

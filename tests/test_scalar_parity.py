@@ -59,9 +59,76 @@ def _in_sphere_from(u1, u2, u3):
     return _scale(d, rad)
 
 
+def _hit_bbox(bmin, bmax, o, d):
+    """HitBoundingBox (gpu_kernel.cl:534-555): slab test with precomputed
+    inverse direction; fmin/fmax are NaN-ignoring in OpenCL — with python
+    floats, d==0 gives +-inf (not NaN) so plain min/max match."""
+    inv = tuple((math.inf if d[k] == 0 else 1.0 / d[k]) for k in range(3))
+    t1 = tuple((bmin[k] - o[k]) * inv[k] for k in range(3))
+    t2 = tuple((bmax[k] - o[k]) * inv[k] for k in range(3))
+    tmin = max(min(t1[k], t2[k]) for k in range(3))
+    tmax = min(max(t1[k], t2[k]) for k in range(3))
+    return tmax > max(tmin, 0.0)
+
+
+def _hit_triangle(p0, p1, p2, o, d, t_min, t_max):
+    """HitTriangle (gpu_kernel.cl:489-532): Moller-Trumbore with eps=1e-5
+    parallel cull, barycentric bounds, strict (tMin, tMax) window.
+    Returns (t, outward_normal) or None."""
+    e0 = _sub(p1, p0)
+    e1 = _sub(p2, p0)
+    h = (d[1] * e1[2] - d[2] * e1[1],
+         d[2] * e1[0] - d[0] * e1[2],
+         d[0] * e1[1] - d[1] * e1[0])
+    a = _dot(e0, h)
+    if -1e-5 < a < 1e-5:
+        return None
+    f = 1.0 / a
+    s = _sub(o, p0)
+    u = f * _dot(s, h)
+    if u < 0.0 or u > 1.0:
+        return None
+    q = (s[1] * e0[2] - s[2] * e0[1],
+         s[2] * e0[0] - s[0] * e0[2],
+         s[0] * e0[1] - s[1] * e0[0])
+    v = f * _dot(d, q)
+    if v < 0.0 or u + v > 1.0:
+        return None
+    t0 = f * _dot(e1, q)
+    if not (t_min < t0 < t_max):
+        return None
+    n = (e0[1] * e1[2] - e0[2] * e1[1],
+         e0[2] * e1[0] - e0[0] * e1[2],
+         e0[0] * e1[1] - e0[1] * e1[0])
+    return t0, _unit(n)
+
+
+def _scalar_sky(scene, d):
+    """Miss shading (gpu_kernel.cl:342-347): HDR equirect via Vec3ToUV
+    (:234-241) with int truncation; gradient sky otherwise (the dead-code
+    vestige at :268-269).  Index clamped at the u==1/v==1 edge (the
+    reference reads out of bounds there — UB we do not copy)."""
+    from opencl_ray_tracer_tpu.scene.sky import KIND_HDR, KIND_CONST
+    if scene.sky.kind == KIND_HDR:
+        img = np.asarray(scene.sky.image)
+        hgt, wid = img.shape[0], img.shape[1]
+        ud = _unit(d)
+        uu = 0.5 + math.atan2(ud[2], ud[0]) / (2.0 * math.pi)
+        vv = 0.5 - math.asin(max(-1.0, min(1.0, ud[1]))) / math.pi
+        x = min(int(uu * wid), wid - 1)
+        y = min(int(vv * hgt), hgt - 1)
+        return [float(c) for c in img[y, x]]
+    if scene.sky.kind == KIND_CONST:
+        return [float(c) for c in np.asarray(scene.sky.const_colour)]
+    ud = _unit(d)
+    tt = 0.5 * (ud[1] + 1.0)
+    return [(1 - tt) * 1.0 + tt * c for c in (0.5, 0.7, 1.0)]
+
+
 def scalar_ray_colour(scene, o, d, pixel, sample, seed, max_depth,
                       t_min=1e-3):
-    """Sequential transcription of RayColour (gpu_kernel.cl:266-348)."""
+    """Sequential transcription of RayColour (gpu_kernel.cl:266-348),
+    including the box-gated triangle loop of HitAnything (:358-394)."""
     spheres = scene.spheres
     n = spheres.count
     centers = np.asarray(spheres.center)
@@ -70,6 +137,18 @@ def scalar_ray_colour(scene, o, d, pixel, sample, seed, max_depth,
     fuzz = np.asarray(spheres.fuzz)
     ior = np.asarray(spheres.ior)
     types = np.asarray(spheres.mat_type)
+    tris = scene.triangles
+    tn = tris.count
+    tp0 = np.asarray(tris.p0)
+    tp1 = np.asarray(tris.p1)
+    tp2 = np.asarray(tris.p2)
+    t_albedo = np.asarray(tris.albedo)
+    t_fuzz = np.asarray(tris.fuzz)
+    t_ior = np.asarray(tris.ior)
+    t_types = np.asarray(tris.mat_type)
+    t_box = np.asarray(tris.box_id)
+    bmin = np.asarray(scene.boxes.box_min)
+    bmax = np.asarray(scene.boxes.box_max)
 
     colour = [1.0, 1.0, 1.0]
     depth = 0
@@ -77,6 +156,8 @@ def scalar_ray_colour(scene, o, d, pixel, sample, seed, max_depth,
         # HitAnything: closest-so-far over spheres (gpu_kernel.cl:358-372)
         closest = math.inf
         hit_i = -1
+        hit_tri = -1
+        tri_normal = None
         for i in range(n):
             oc = _sub(o, centers[i])
             a = _dot(d, d)
@@ -93,35 +174,58 @@ def scalar_ray_colour(scene, o, d, pixel, sample, seed, max_depth,
                     continue
             closest = root
             hit_i = i
-        if hit_i < 0:
+        # box-gated triangle loop (gpu_kernel.cl:374-391); tMax threads the
+        # running closestSoFar, strict inside HitTriangle (:520)
+        for b in range(bmin.shape[0]):
+            if _hit_bbox(tuple(bmin[b]), tuple(bmax[b]), o, d):
+                for j in range(tn):
+                    if int(t_box[j]) == b:
+                        res = _hit_triangle(tuple(tp0[j]), tuple(tp1[j]),
+                                            tuple(tp2[j]), o, d, t_min,
+                                            closest)
+                        if res is not None:
+                            closest, tri_normal = res
+                            hit_tri = j
+                            hit_i = -2  # triangle won
+        if hit_i == -1 and hit_tri == -1:
             break  # miss -> sky
 
         p = _add(o, _scale(d, closest))
-        outward = _scale(_sub(p, centers[hit_i]), 1.0 / radii[hit_i])
+        if hit_tri >= 0 and hit_i == -2:
+            outward = tri_normal
+            this_albedo = t_albedo[hit_tri]
+            this_fuzz = float(t_fuzz[hit_tri])
+            this_ior = float(t_ior[hit_tri])
+            t = int(t_types[hit_tri])
+        else:
+            outward = _scale(_sub(p, centers[hit_i]), 1.0 / radii[hit_i])
+            this_albedo = albedo[hit_i]
+            this_fuzz = float(fuzz[hit_i])
+            this_ior = float(ior[hit_i])
+            t = int(types[hit_i])
         front = _dot(d, outward) < 0
         normal = outward if front else _scale(outward, -1.0)
 
         u = _draws(seed, pixel, sample, 4 + depth * 2)
         u2 = _draws(seed, pixel, sample, 5 + depth * 2)
-        t = int(types[hit_i])
         if t == mat.LAMBERTIAN:
             rv = _unit_vec_from(u[0], u[1])
             sd = _add(normal, rv)
             if all(abs(c) < 1e-8 for c in sd):
                 sd = normal
             o, d = p, sd
-            colour = [colour[k] * albedo[hit_i][k] for k in range(3)]
+            colour = [colour[k] * this_albedo[k] for k in range(3)]
         elif t == mat.METAL:
             ud = _unit(d)
             refl = _sub(ud, _scale(normal, 2 * _dot(ud, normal)))
             fv = _in_sphere_from(u[2], u[3], u2[0])
-            sd = _add(refl, _scale(fv, float(fuzz[hit_i])))
+            sd = _add(refl, _scale(fv, this_fuzz))
             if _dot(sd, normal) <= 0:
                 return (0.0, 0.0, 0.0)  # absorbed (gpu_kernel.cl:309)
             o, d = p, sd
-            colour = [colour[k] * albedo[hit_i][k] for k in range(3)]
+            colour = [colour[k] * this_albedo[k] for k in range(3)]
         elif t == mat.DIELECTRIC:
-            ratio = (1.0 / float(ior[hit_i])) if front else float(ior[hit_i])
+            ratio = (1.0 / this_ior) if front else this_ior
             ud = _unit(d)
             cos_t = min(_dot(_scale(ud, -1.0), normal), 1.0)
             sin_t = math.sqrt(max(0.0, 1 - cos_t * cos_t))
@@ -136,16 +240,14 @@ def scalar_ray_colour(scene, o, d, pixel, sample, seed, max_depth,
             o, d = p, sd
             # attenuation = (1,1,1)
         else:  # EMISSIVE (gpu_kernel.cl:326-329)
-            return tuple(colour[k] * albedo[hit_i][k] for k in range(3))
+            return tuple(colour[k] * this_albedo[k] for k in range(3))
         depth += 1
 
     if depth == max_depth:
         return (0.0, 0.0, 0.0)  # gpu_kernel.cl:337-340
 
-    # miss -> throughput * gradient sky (gpu_kernel.cl:342-347)
-    ud = _unit(d)
-    tt = 0.5 * (ud[1] + 1.0)
-    sky = [(1 - tt) * 1.0 + tt * c for c in (0.5, 0.7, 1.0)]
+    # miss -> throughput * sky (gpu_kernel.cl:342-347)
+    sky = _scalar_sky(scene, d)
     return tuple(colour[k] * sky[k] for k in range(3))
 
 
@@ -194,3 +296,95 @@ def test_scalar_vs_vectorized_reference_scene():
         if not np.allclose(vec[i], want, atol=5e-4):
             mism += 1
     assert mism <= 2, f"{mism}/{n_rays} rays disagree"
+
+
+# ---- triangle / AABB / HDR extensions of the oracle (VERDICT round 1) ----
+
+def _mesh_scene(sky=None):
+    from opencl_ray_tracer_tpu.io.obj import parse_obj
+    from opencl_ray_tracer_tpu.io.procgen import make_torus_obj
+    tris, aabb = parse_obj(make_torus_obj(10, 6), scale=(0.5, 0.5, 0.5),
+                           translate=(0.3, 0.0, -1.6))
+    return ort.reference_scene(mesh_tris=tris, mesh_aabb=aabb, sky=sky)
+
+
+def _camera_rays(n_rays, rs):
+    o = np.tile(np.array([[-1.3, 0.2, 0.5]], np.float32), (n_rays, 1))
+    target = (np.array([0.2, 0.0, -1.5])
+              + rs.uniform(-1.0, 1.0, (n_rays, 3)) * [1.5, 0.8, 1.0])
+    return o, (target - o).astype(np.float32)
+
+
+def _assert_scalar_match(scene, o, d, hit_fn=None, max_mism=2, depth=6,
+                         seed=4, sample=1):
+    n_rays = o.shape[0]
+    pixel_ids = np.arange(n_rays, dtype=np.int32) * 53
+    vec = np.asarray(trace(scene, jnp.asarray(o), jnp.asarray(d),
+                           jnp.asarray(pixel_ids), jnp.int32(sample),
+                           jnp.uint32(seed), depth, early_stop=False,
+                           hit_fn=hit_fn))
+    mism = 0
+    for i in range(n_rays):
+        want = scalar_ray_colour(scene, tuple(o[i]), tuple(d[i]),
+                                 int(pixel_ids[i]), sample, seed, depth)
+        if not np.allclose(vec[i], want, atol=5e-4):
+            mism += 1
+    assert mism <= max_mism, f"{mism}/{n_rays} rays disagree"
+
+
+def test_scalar_vs_vectorized_mesh_scene():
+    """HitTriangle + HitBoundingBox gating vs the direct jnp backend."""
+    scene = _mesh_scene()
+    o, d = _camera_rays(48, np.random.default_rng(7))
+    _assert_scalar_match(scene, o, d)
+
+
+def test_scalar_vs_mm_and_pallas_backends():
+    """All three triangle backends against the scalar oracle (VERDICT
+    round-1 item 5): direct MT fold, MXU matmul form, fused Pallas."""
+    from opencl_ray_tracer_tpu.kernels.intersect_mm import make_pallas_hit_fn
+    from opencl_ray_tracer_tpu.tracer.mesh_accel import make_mm_hit_fn
+    scene = _mesh_scene()
+    o, d = _camera_rays(48, np.random.default_rng(8))
+    _assert_scalar_match(scene, o, d, hit_fn=make_mm_hit_fn(scene))
+    _assert_scalar_match(scene, o, d,
+                         hit_fn=make_pallas_hit_fn(scene, interpret=True))
+
+
+def test_scalar_vs_vectorized_hdr_sky():
+    """HDR equirect miss shading (Vec3ToUV + truncating index)."""
+    from opencl_ray_tracer_tpu.io.hdr import tone_map
+    from opencl_ray_tracer_tpu.io.procgen import make_sky_image
+    from opencl_ray_tracer_tpu.scene import Sky
+    sky = Sky.hdr(tone_map(make_sky_image(64, 32)))
+    scene = _mesh_scene(sky=sky)
+    o, d = _camera_rays(48, np.random.default_rng(9))
+    _assert_scalar_match(scene, o, d)
+
+
+def test_scalar_vs_vectorized_two_boxes():
+    """Per-triangle boundingBoxId gating with multiple boxes: triangles in
+    an unhit box must be skipped even when geometrically intersected."""
+    import dataclasses
+    from opencl_ray_tracer_tpu.scene import (BoundingBoxes, Triangles,
+                                             materials as m)
+    quad = np.array([
+        [[-1.5, -1.0, -2.0], [-0.1, -1.0, -2.0], [-0.1, 1.0, -2.0]],
+        [[-1.5, -1.0, -2.0], [-0.1, 1.0, -2.0], [-1.5, 1.0, -2.0]],
+        [[0.1, -1.0, -2.0], [1.5, -1.0, -2.0], [1.5, 1.0, -2.0]],
+        [[0.1, -1.0, -2.0], [1.5, 1.0, -2.0], [0.1, 1.0, -2.0]],
+    ], np.float32)
+    tris = Triangles.from_vertices(quad, albedo=(0.7, 0.4, 0.3), fuzz=0.0,
+                                   ior=0.0, mat_type=m.LAMBERTIAN)
+    tris = dataclasses.replace(
+        tris, box_id=jnp.asarray([0, 0, 1, 1], jnp.int32))
+    boxes = BoundingBoxes(
+        jnp.asarray([[-1.6, -1.1, -2.1], [0.0, -1.1, -2.1]], jnp.float32),
+        jnp.asarray([[0.0, 1.1, -1.9], [1.6, 1.1, -1.9]], jnp.float32))
+    base = ort.readme_scene()
+    scene = dataclasses.replace(base, triangles=tris, boxes=boxes)
+    rs = np.random.default_rng(11)
+    o = np.zeros((48, 3), np.float32)
+    d = np.stack([rs.uniform(-1.2, 1.2, 48), rs.uniform(-0.8, 0.8, 48),
+                  -np.ones(48)], axis=1).astype(np.float32)
+    _assert_scalar_match(scene, o, d)
