@@ -53,12 +53,24 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0,
     n_tile, n_sample = _check(cfg, mesh)
     rows_per = cfg.height // n_tile
     spp_per = cfg.spp // n_sample
+    pallas_kind = None
     if use_pallas:
         assert n_sample == 1, "pallas sharded render: sample axis must be 1"
         from ..kernels.megakernel import specialize_flags, supports
-        assert supports(scene, cfg), "megakernel: unsupported scene"
-        # flags need a concrete scene; inside shard_map it is traced
-        pallas_flags = specialize_flags(scene)
+        from ..kernels.megamesh import (MESH_CHUNK, specialize_mesh_flags,
+                                        supports_mesh)
+        # flags/plan need a concrete scene; inside shard_map it is traced
+        if supports(scene, cfg):
+            pallas_kind = "sphere"
+            pallas_flags = specialize_flags(scene)
+            mesh_plan = None
+        else:
+            assert supports_mesh(scene, cfg), \
+                "pallas sharded render: unsupported scene"
+            pallas_kind = "mesh"
+            pallas_flags = specialize_mesh_flags(scene)
+            from ..tracer.clusters import plan_for_scene
+            mesh_plan = plan_for_scene(scene, MESH_CHUNK)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -68,11 +80,16 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0,
     def _render(scene):
         ti = jax.lax.axis_index(TILE_AXIS)
         si = jax.lax.axis_index(SAMPLE_AXIS)
-        if use_pallas:
+        if pallas_kind == "sphere":
             from ..kernels.megakernel import render_pallas_inner
             return render_pallas_inner(
                 scene, cfg, seed, pallas_interpret, pallas_flags,
                 rows_per, ti * (rows_per * cfg.width))
+        if pallas_kind == "mesh":
+            from ..kernels.megamesh import render_pallas_mesh_inner
+            return render_pallas_mesh_inner(
+                scene, cfg, seed, pallas_interpret, pallas_flags,
+                mesh_plan, rows_per, ti * (rows_per * cfg.width))
         hit_fn = hit_fn_factory(scene) if hit_fn_factory else None
         img = render_rows(scene, cfg, ti * rows_per, rows_per,
                           jnp.uint32(seed), sample_offset=si * spp_per,

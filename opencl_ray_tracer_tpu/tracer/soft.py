@@ -23,10 +23,16 @@ path-traced continuation (secondary silhouettes stay hard: their boundary
 terms are minor next to primary ones, and Monte Carlo noise dwarfs them).
 
 As beta -> inf this converges to the hard render.  Forward cost is
-O(n_spheres) x the hard render, so use it for inverse-rendering loops (small
-configs), not production forwards.  Spheres only — matching the geometry
-parameters a sphere scene exposes; mesh-vertex gradients are out of scope
-for this mode.
+O(n_spheres + n_triangles) x the hard render, so use it for
+inverse-rendering loops (small configs), not production forwards.
+
+Triangles participate with the analogous smooth silhouette margin: the
+ray-plane intersection is smooth in the vertices, and the coverage margin
+is the minimum barycentric coordinate min(u, v, 1-u-v) — positive inside,
+negative outside, zero exactly on the silhouette edge — so vertex
+gradients see silhouette motion (tests/test_soft.py FD oracle).  Meant for
+small meshes (each triangle is a composited candidate); large-mesh
+silhouette gradients would need edge sampling, out of scope here.
 """
 
 from __future__ import annotations
@@ -77,16 +83,47 @@ def _primary_candidates(scene: Scene, o, d, beta, t_min):
     return alpha, t, point, normal
 
 
-def _shade_candidate(scene: Scene, d, point, normal, sphere_idx, pixel_ids,
-                     sample_id, seed, max_depth, t_min):
-    """Radiance assuming the primary ray hits sphere `sphere_idx` at
-    `point`: one scatter + hard-traced continuation.  Shapes: (R,...)."""
-    r_count = point.shape[0]
-    albedo = jnp.broadcast_to(scene.spheres.albedo[sphere_idx], (r_count, 3))
-    fuzz = jnp.broadcast_to(scene.spheres.fuzz[sphere_idx], (r_count,))
-    ior = jnp.broadcast_to(scene.spheres.ior[sphere_idx], (r_count,))
-    mtype = jnp.broadcast_to(scene.spheres.mat_type[sphere_idx], (r_count,))
+def _tri_candidates(scene: Scene, o, d, beta, t_min):
+    """Per (ray, triangle): soft coverage alpha and smooth plane depth.
 
+    The ray-plane hit t is smooth in the vertices; the signed silhouette
+    margin is the minimum barycentric coordinate (zero on the edge).
+    Returns alpha (R,T), t (R,T), point (R,T,3), normal (R,T,3).
+    """
+    tris = scene.triangles
+    p0, p1, p2 = tris.p0, tris.p1, tris.p2          # (T,3)
+    e0 = p1 - p0
+    e1 = p2 - p0
+    n = jnp.cross(e0, e1)                            # (T,3)
+    denom = jnp.einsum("rk,tk->rt", d, n)            # (R,T)
+    # parallel rays: push t behind the camera (alpha -> 0 via t <= t_min)
+    safe = jnp.where(jnp.abs(denom) < 1e-8,
+                     jnp.where(denom < 0, -1e-8, 1e-8), denom)
+    num = jnp.einsum("tk,tk->t", p0, n)[None, :] \
+        - jnp.einsum("rk,tk->rt", o, n)
+    t = num / safe                                   # (R,T)
+    point = o[:, None, :] + t[..., None] * d[:, None, :]
+    # barycentrics of the plane point (smooth in vertices)
+    s = point - p0[None, :, :]
+    d00 = jnp.einsum("tk,tk->t", e0, e0)
+    d01 = jnp.einsum("tk,tk->t", e0, e1)
+    d11 = jnp.einsum("tk,tk->t", e1, e1)
+    det = jnp.maximum(d00 * d11 - d01 * d01, 1e-20)
+    s0 = jnp.einsum("rtk,tk->rt", s, e0)
+    s1 = jnp.einsum("rtk,tk->rt", s, e1)
+    u = (d11 * s0 - d01 * s1) / det
+    v = (d00 * s1 - d01 * s0) / det
+    margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+    alpha = jax.nn.sigmoid(beta * margin) * (t > t_min)
+    nn = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    normal = jnp.broadcast_to(nn[None, :, :], point.shape)
+    return alpha, t, point, normal
+
+
+def _shade_candidate(scene: Scene, d, point, normal, albedo, fuzz, ior,
+                     mtype, pixel_ids, sample_id, seed, max_depth, t_min):
+    """Radiance assuming the primary ray hits a surface with the given
+    material at `point`: one scatter + hard-traced continuation."""
     front_face = _dot(d, normal) < 0.0
     n_faced = jnp.where(front_face[:, None], normal, -normal)
 
@@ -106,27 +143,58 @@ def _shade_candidate(scene: Scene, d, point, normal, sphere_idx, pixel_ids,
 
 def render_soft_rays(scene: Scene, o, d, pixel_ids, sample_id, seed,
                      max_depth, t_min=1e-3, beta=80.0):
-    """Soft-primary radiance for a ray batch (R,3)."""
+    """Soft-primary radiance for a ray batch (R,3).  Candidates = all
+    spheres + all triangles, composited front-to-back by smooth depth."""
     s_count = scene.spheres.count
-    alpha, t, point, normal = _primary_candidates(scene, o, d, beta, t_min)
+    t_count = scene.triangles.count
+    parts_alpha, parts_t = [], []
+    if s_count > 0:
+        sa, stt, s_point, s_normal = _primary_candidates(scene, o, d, beta,
+                                                         t_min)
+        parts_alpha.append(sa)
+        parts_t.append(stt)
+    if t_count > 0:
+        ta, ttt, t_point, t_normal = _tri_candidates(scene, o, d, beta,
+                                                     t_min)
+        parts_alpha.append(ta)
+        parts_t.append(ttt)
+    alpha = jnp.concatenate(parts_alpha, axis=1)         # (R, S+T)
+    t = jnp.concatenate(parts_t, axis=1)
 
     # Depth-order compositing: sort candidates by t per ray.
-    order = jnp.argsort(t, axis=1)                       # (R,S)
+    order = jnp.argsort(t, axis=1)                       # (R,S+T)
     alpha_sorted = jnp.take_along_axis(alpha, order, axis=1)
     trans = jnp.cumprod(1.0 - alpha_sorted + 1e-12, axis=1)
     trans_before = jnp.concatenate(
         [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=1)
-    w_sorted = alpha_sorted * trans_before               # (R,S)
+    w_sorted = alpha_sorted * trans_before               # (R,S+T)
     w_sky = trans[:, -1]
 
-    # Shade each candidate sphere (python loop over S — S is small and
-    # static; XLA sees S independent shade+trace pipelines).
+    # Shade each candidate (python loop — candidate count is small and
+    # static; XLA sees independent shade+trace pipelines).
     l_sky = sky_colour(scene.sky, d)
     out = w_sky[:, None] * l_sky
-    for i in range(s_count):
-        li = _shade_candidate(scene, d, point[:, i], normal[:, i], i,
+    r_count = o.shape[0]
+
+    def bcast(x, shape):
+        return jnp.broadcast_to(x, shape)
+
+    for i in range(s_count + t_count):
+        if i < s_count:
+            pt, nm = s_point[:, i], s_normal[:, i]
+            al = bcast(scene.spheres.albedo[i], (r_count, 3))
+            fz = bcast(scene.spheres.fuzz[i], (r_count,))
+            io = bcast(scene.spheres.ior[i], (r_count,))
+            mt = bcast(scene.spheres.mat_type[i], (r_count,))
+        else:
+            j = i - s_count
+            pt, nm = t_point[:, j], t_normal[:, j]
+            al = bcast(scene.triangles.albedo[j], (r_count, 3))
+            fz = bcast(scene.triangles.fuzz[j], (r_count,))
+            io = bcast(scene.triangles.ior[j], (r_count,))
+            mt = bcast(scene.triangles.mat_type[j], (r_count,))
+        li = _shade_candidate(scene, d, pt, nm, al, fz, io, mt,
                               pixel_ids, sample_id, seed, max_depth, t_min)
-        # weight of sphere i = w at its sorted position
         wi = jnp.sum(jnp.where(order == i, w_sorted, 0.0), axis=1)
         out = out + wi[:, None] * li
     return out

@@ -194,3 +194,30 @@ def test_pallas_sharded_bit_identical():
                                           pallas_interpret=True))
     img_1 = np.asarray(render_pallas(scene, cfg, seed=0, interpret=True))
     np.testing.assert_array_equal(img_s, img_1)
+
+
+def test_megamesh_sharded_matches_single():
+    # fused mesh/HDR kernel per shard with row offsets.  Unlike the sphere
+    # megakernel (everything inside one Pallas kernel -> bit-identical),
+    # megamesh builds weight tables and runs the HDR-sky epilogue in jnp,
+    # which XLA fuses differently under shard_map vs standalone jit:
+    # agreement is to 1 ulp, not bitwise.
+    from opencl_ray_tracer_tpu.io.hdr import tone_map
+    from opencl_ray_tracer_tpu.io.obj import parse_obj
+    from opencl_ray_tracer_tpu.io.procgen import make_sky_image, make_torus_obj
+    from opencl_ray_tracer_tpu.kernels.megamesh import render_pallas_mesh
+    from opencl_ray_tracer_tpu.scene import Sky
+
+    tris, aabb = parse_obj(make_torus_obj(10, 6), scale=(0.5, 0.5, 0.5),
+                           translate=(0.3, 0.0, -1.6))
+    scene = ort.reference_scene(
+        mesh_tris=tris, mesh_aabb=aabb,
+        sky=Sky.hdr(tone_map(make_sky_image(32, 16))))
+    cfg = ort.RenderConfig(width=64, height=8 * 16, spp=2, max_depth=4)
+    mesh = par.make_mesh(n_tile=8, n_sample=1)
+    img_s = np.asarray(par.render_sharded(scene, cfg, mesh, 0,
+                                          use_pallas=True,
+                                          pallas_interpret=True))
+    img_1 = np.asarray(render_pallas_mesh(scene, cfg, seed=0,
+                                          interpret=True))
+    np.testing.assert_allclose(img_s, img_1, atol=1e-7)

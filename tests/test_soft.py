@@ -79,3 +79,61 @@ def test_recover_sphere_position():
                    - np.asarray(true_scene.spheres.center))
     drift[1] = 0
     assert drift.max() == 0.0, drift
+
+
+def _triangle_scene(shift_x=0.0):
+    from opencl_ray_tracer_tpu.scene import (BoundingBoxes, Camera, Scene,
+                                             Sky, Spheres, Triangles,
+                                             materials as mat)
+    tv = np.array([
+        [[-0.6 + shift_x, -0.5, -1.5], [0.6 + shift_x, -0.5, -1.5],
+         [0.0 + shift_x, 0.6, -1.5]],
+    ], np.float32)
+    tris = Triangles.from_vertices(tv, albedo=(0.7, 0.3, 0.2), fuzz=0.0,
+                                   ior=0.0, mat_type=mat.LAMBERTIAN)
+    boxes = BoundingBoxes.single((-2.0, -1.0, -1.6), (2.0, 1.0, -1.4))
+    cam = Camera.create((0.0, 0.0, 0.0), (0.0, 0.0, -1.0), vfov_deg=70.0,
+                        aspect_ratio=48.0 / 27.0, focus_dist=1.0,
+                        aperture_deg=0.0)
+    return Scene(cam, Spheres.empty(), tris, boxes, Sky.gradient())
+
+
+def test_soft_triangle_converges_to_hard():
+    scene = _triangle_scene()
+    hard = np.asarray(_hard(scene))
+    soft = np.asarray(render_soft(scene, CFG, seed=0, beta=50000.0))
+    close = np.isclose(soft, hard, atol=5e-2).mean()
+    assert close > 0.93, close
+    assert abs(soft.mean() - hard.mean()) < 0.01
+
+
+def test_soft_triangle_vertex_silhouette_gradient_matches_fd():
+    """Silhouette-dominated loss: moving a vertex changes pixel COVERAGE (a
+    step under hard visibility).  The soft renderer's vertex gradient must
+    match central finite differences of the soft forward (VERDICT round-1
+    item 6 / BASELINE config 5 beyond spheres)."""
+    scene = _triangle_scene()
+    target = _hard(_triangle_scene(shift_x=0.15), seed=7)
+    beta = 40.0
+
+    def loss_of_p(p_all):
+        import dataclasses as dc
+        tris = dc.replace(scene.triangles, p0=p_all[0][None],
+                          p1=p_all[1][None], p2=p_all[2][None])
+        s = dc.replace(scene, triangles=tris)
+        img = render_soft(s, CFG, seed=7, beta=beta)
+        return jnp.mean((img - target) ** 2)
+
+    p_all = jnp.stack([scene.triangles.p0[0], scene.triangles.p1[0],
+                       scene.triangles.p2[0]])
+    g = jax.grad(loss_of_p)(p_all)
+    assert np.isfinite(np.asarray(g)).all()
+    # FD on the apex vertex x (pure silhouette motion)
+    eps = 1e-3
+    e = jnp.zeros_like(p_all).at[2, 0].set(1.0)
+    fd = float((loss_of_p(p_all + eps * e) - loss_of_p(p_all - eps * e))
+               / (2 * eps))
+    ad = float(jnp.sum(g * e))
+    assert abs(fd - ad) < 2e-3 + 0.05 * abs(fd), (fd, ad)
+    # and the gradient actually pulls the triangle toward the target
+    assert ad < 0.0, ad
