@@ -4,8 +4,13 @@ Scene + config = the reference's only published numbers (README.md:24-46):
 README 5-sphere scene, 1280x720, 250 spp, max depth 50.  Baseline:
 0.38 s on the author's GPU => 6.06e8 camera samples/s (BASELINE.md).
 
+Also measures the BASELINE.json target metric — camera samples/s
+forward+BACKWARD at the same config (scene-parameter gradients of an image
+loss via the differentiable wavefront VJP) — reported in "extra" alongside
+the headline forward number.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 """
 
 from __future__ import annotations
@@ -72,11 +77,49 @@ def main() -> int:
 
     samples_per_s = width * height * spp / dt
     print(f"# render: {dt:.3f} s  mean {mean:.4f}", file=sys.stderr)
+
+    # ---- forward+backward (BASELINE.json metric) ----
+    extra = {}
+    try:
+        import jax.numpy as jnp
+        from opencl_ray_tracer_tpu.tracer.render import render_grad_sampled
+
+        loss_fn = lambda im: jnp.mean(im ** 2)
+
+        def run_grad(seed):
+            loss, img_g, grads = render_grad_sampled(
+                scene, cfg, loss_fn, seed=seed, spp_chunk=50)
+            jax.block_until_ready(grads)
+            return grads
+
+        t0 = time.perf_counter()
+        grads = run_grad(11)
+        t_grad_first = time.perf_counter() - t0
+        print(f"# fwd+bwd first (compile + run): {t_grad_first:.2f} s",
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        grads = run_grad(12)
+        dt_grad = time.perf_counter() - t0
+        gmax = float(jnp.max(jnp.abs(grads.spheres.center)))
+        assert gmax > 0, "zero gradients in fwd+bwd benchmark"
+        fb = width * height * spp / dt_grad
+        print(f"# fwd+bwd: {dt_grad:.3f} s  grad max {gmax:.2e}",
+              file=sys.stderr)
+        extra = {
+            "fwd_bwd_samples_per_s": round(fb, 1),
+            "fwd_bwd_seconds": round(dt_grad, 3),
+            "fwd_bwd_vs_gpu_fwd_baseline": round(
+                fb / BASELINE_SAMPLES_PER_S, 4),
+        }
+    except Exception as e:  # keep the headline metric robust
+        print(f"# fwd+bwd measurement failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "camera_samples_per_s_fwd_1280x720x250spp_d50",
         "value": round(samples_per_s, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 4),
+        "extra": extra,
     }))
     return 0
 

@@ -268,14 +268,19 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
 
         img    = forward render (fast path: megakernel where supported)
         g_img  = dL/dimg from the forward image
-        grads  = sum_chunks VJP[render_rows(chunk, sum-mode)](g_img / spp)
+        grads  = sum_chunks VJP[wavefront_scan(chunk, sum-mode)](g_img/spp)
 
-    Bounded memory at any (width, height, spp): each VJP sees spp_chunk
-    samples x row_chunk rows with sample+bounce rematerialization and the
-    winner-only hit (Pallas winner search on TPU).  NaN handling inside a
-    chunk uses the order-invariant "zero" policy (the running-sum quirk is
-    not sample-linear; NaN-free scenes are unaffected).
+    The chunk VJP differentiates the *wavefront* (path-regeneration)
+    estimator under a fixed-length scan whose length comes from an exact
+    forward probe — ~spp x E[path length] iterations instead of the
+    sample-scan's spp x max_depth (~15x less backward bounce-work at depth
+    50), with per-iteration rematerialization and the winner-only hit
+    (Pallas winner search on TPU).  Bounded memory at any (width, height,
+    spp).  NaN handling inside a chunk uses the order-invariant "zero"
+    policy (the running-sum quirk is not sample-linear; NaN-free scenes
+    are unaffected).
     """
+    from .wavefront import render_rows_wavefront, render_rows_wavefront_scan
     h, w = cfg.height, cfg.width
     img = render(scene, cfg, seed=seed)
     loss, g_img = jax.value_and_grad(
@@ -299,18 +304,43 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
         from ..kernels.intersect_mm import PLAN_CHUNK
         mesh_plan = plan_for_scene(scene, PLAN_CHUNK)
 
+    def _grid(row_start, n_rows):
+        rows = (row_start
+                + jax.lax.broadcasted_iota(jnp.int32, (n_rows, w), 0)
+                ).reshape(-1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n_rows, w),
+                                        1).reshape(-1)
+        return rows, cols, rows * w + cols
+
+    def _hit(s):
+        from .diffhit import make_grad_hit_fn
+        return make_grad_hit_fn(s, dcfg.t_min,
+                                winner_backend=winner_backend,
+                                mesh_plan=mesh_plan, interpret=not on_tpu)
+
     @functools.partial(jax.jit, static_argnames=("n_rows", "n_spp"))
-    def chunk_vjp(s, row_start, sample_offset, g_rows, n_rows, n_spp):
+    def chunk_probe(s, row_start, sample_offset, n_rows, n_spp):
+        rows, cols, pids = _grid(row_start, n_rows)
+        # probe with the SAME hit values the differentiable scan will see
+        # (winner recompute), so the measured iteration count is exact
+        _, it = render_rows_wavefront(s, dcfg, rows, cols, pids,
+                                      jnp.uint32(seed), sample_offset,
+                                      n_spp, hit_fn=_hit(s),
+                                      return_iters=True)
+        return it
+
+    @functools.partial(jax.jit,
+                       static_argnames=("n_rows", "n_spp", "n_iters"))
+    def chunk_vjp(s, row_start, sample_offset, g_rows, n_rows, n_spp,
+                  n_iters):
         def fn(s):
-            from .diffhit import make_grad_hit_fn
-            hit_fn = make_grad_hit_fn(
-                s, dcfg.t_min, winner_backend=winner_backend,
-                mesh_plan=mesh_plan, interpret=not on_tpu)
-            return render_rows(s, dcfg, row_start, n_rows, jnp.uint32(seed),
-                               sample_offset=sample_offset, spp=n_spp,
-                               hit_fn=hit_fn, mean=False, remat=True)
+            rows, cols, pids = _grid(row_start, n_rows)
+            return render_rows_wavefront_scan(
+                s, dcfg, rows, cols, pids, jnp.uint32(seed),
+                sample_offset, n_spp, n_iters, hit_fn=_hit(s))
         _, vjp = jax.vjp(fn, s)
-        return vjp(g_rows / jnp.float32(cfg.spp))[0]
+        g = (g_rows / jnp.float32(cfg.spp)).reshape(-1, 3)
+        return vjp(g)[0]
 
     def _acc(a, b):
         if hasattr(a, "dtype") and a.dtype == jax.dtypes.float0:
@@ -321,7 +351,11 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
     for r0 in range(0, h, row_chunk):
         for s0 in range(0, cfg.spp, spp_chunk):
             n_spp = min(spp_chunk, cfg.spp - s0)
+            it = int(chunk_probe(scene, jnp.int32(r0), jnp.int32(s0),
+                                 row_chunk, n_spp))
+            n_iters = -(-it // 16) * 16  # bucket: bounded recompiles
             g = chunk_vjp(scene, jnp.int32(r0), jnp.int32(s0),
-                          g_img[r0:r0 + row_chunk], row_chunk, n_spp)
+                          g_img[r0:r0 + row_chunk], row_chunk, n_spp,
+                          n_iters)
             grads = g if grads is None else jax.tree.map(_acc, grads, g)
     return loss, img, grads

@@ -12,9 +12,17 @@ pixel the samples complete in order, so the clamp-before-average and NaN
 running-sum quirks (gpu_kernel.cl:632-642) are preserved exactly — the
 output matches the scan path to fp identity.
 
-Forward-only (while_loop is not reverse-differentiable); render.py uses it
-when cfg.early_stop is set (the forward default) and the scan path
-otherwise.  Works with any hit_fn (direct, MXU matmul, fused Pallas).
+The while_loop form is forward-only, but the loop BODY is pure
+where-select arithmetic — so the same body under a fixed-length
+``lax.scan`` (``render_rows_wavefront_scan``) is reverse-differentiable.
+A cheap non-differentiable forward probe measures the true iteration count
+(~spp x E[path length] + tail), and the differentiable scan runs exactly
+that many steps instead of the sample-scan's spp x max_depth — a ~15x cut
+in backward bounce-work at depth 50 (render.render_grad_sampled).
+
+render.py uses the while form when cfg.early_stop is set (the forward
+default) and the sample-scan path otherwise.  Works with any hit_fn
+(direct, MXU matmul, fused Pallas).
 """
 
 from __future__ import annotations
@@ -39,16 +47,14 @@ class WaveState(NamedTuple):
     depth: jnp.ndarray       # (R,) i32 bounce depth within current sample
 
 
-def render_rows_wavefront(scene: Scene, cfg, rows, cols, pixel_ids, seed,
-                          sample_offset, n_samples, hit_fn=None, acc0=None):
-    """Radiance sum over n_samples per pixel (R,3); divide by n_samples for
-    the mean.  rows/cols/pixel_ids: (R,) i32.  acc0 optionally seeds the
-    running sum (see render.render_rows)."""
+def _wave_setup(scene: Scene, cfg, rows, cols, pixel_ids, seed,
+                sample_offset, n_samples, hit_fn, acc0):
+    """Shared initial state + one-iteration body for the while and scan
+    forms."""
     r = pixel_ids.shape[0]
     width = jnp.float32(cfg.width)
     height = jnp.float32(cfg.height)
     sample_end = jnp.int32(sample_offset + n_samples)
-    max_iters = n_samples * cfg.max_depth + 1
 
     def camera_ray(sample_id):
         u0, u1, u2, u3 = uniform4(seed, pixel_ids, sample_id, SLOT_PIXEL_U)
@@ -65,12 +71,7 @@ def render_rows_wavefront(scene: Scene, cfg, rows, cols, pixel_ids, seed,
         sample=jnp.full((r,), sample_offset, jnp.int32),
         depth=jnp.zeros((r,), jnp.int32))
 
-    def cond(c):
-        it, st = c
-        return (it < max_iters) & jnp.any(st.sample < sample_end)
-
-    def body(c):
-        it, st = c
+    def body(st: WaveState) -> WaveState:
         active = st.sample < sample_end
         h = hit_fn(st.o, st.d) if hit_fn is not None else \
             closest_hit(scene, st.o, st.d, cfg.t_min)
@@ -84,7 +85,6 @@ def render_rows_wavefront(scene: Scene, cfg, rows, cols, pixel_ids, seed,
 
         miss_now = active & ~h.hit
         emit_now = active & h.hit & sc.emitted
-        absorb_now = active & h.hit & sc.absorbed & ~sc.emitted
         would_cont = active & h.hit & ~sc.emitted & ~sc.absorbed
         # scatter at depth max_depth-1 -> depth == max_depth -> black
         # (gpu_kernel.cl:337-340)
@@ -110,7 +110,7 @@ def render_rows_wavefront(scene: Scene, cfg, rows, cols, pixel_ids, seed,
         co, cd = camera_ray(new_sample)
         rn = regen[:, None]
         cn = cont[:, None]
-        st = WaveState(
+        return WaveState(
             o=jnp.where(rn, co, jnp.where(cn, h.point, st.o)),
             d=jnp.where(rn, cd, jnp.where(cn, sc.direction, st.d)),
             throughput=jnp.where(
@@ -120,7 +120,47 @@ def render_rows_wavefront(scene: Scene, cfg, rows, cols, pixel_ids, seed,
             sample=new_sample,
             depth=jnp.where(regen, 0,
                             jnp.where(cont, st.depth + 1, st.depth)))
-        return (it + 1, st)
 
-    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    return state, body, sample_end
+
+
+def render_rows_wavefront(scene: Scene, cfg, rows, cols, pixel_ids, seed,
+                          sample_offset, n_samples, hit_fn=None, acc0=None,
+                          return_iters=False):
+    """Radiance sum over n_samples per pixel (R,3); divide by n_samples for
+    the mean.  rows/cols/pixel_ids: (R,) i32.  acc0 optionally seeds the
+    running sum (see render.render_rows).  return_iters additionally
+    returns the number of loop iterations taken (the probe for the
+    differentiable scan form)."""
+    state, body, sample_end = _wave_setup(
+        scene, cfg, rows, cols, pixel_ids, seed, sample_offset, n_samples,
+        hit_fn, acc0)
+    max_iters = n_samples * cfg.max_depth + 1
+
+    def cond(c):
+        it, st = c
+        return (it < max_iters) & jnp.any(st.sample < sample_end)
+
+    it, state = jax.lax.while_loop(
+        cond, lambda c: (c[0] + 1, body(c[1])), (jnp.int32(0), state))
+    if return_iters:
+        return state.acc, it
+    return state.acc
+
+
+def render_rows_wavefront_scan(scene: Scene, cfg, rows, cols, pixel_ids,
+                               seed, sample_offset, n_samples, n_iters,
+                               hit_fn=None, acc0=None, remat=True):
+    """Reverse-differentiable wavefront: the same regeneration body under a
+    fixed-length lax.scan.  n_iters (static) must be >= the iteration count
+    the while form would take (probe with return_iters; round up to bound
+    recompiles) — extra iterations are no-ops (all lanes exhausted).
+    Identical output to render_rows_wavefront."""
+    state, body, _ = _wave_setup(
+        scene, cfg, rows, cols, pixel_ids, seed, sample_offset, n_samples,
+        hit_fn, acc0)
+    step = lambda st, _: (body(st), None)
+    if remat:
+        step = jax.checkpoint(step)
+    state, _ = jax.lax.scan(step, state, None, length=n_iters)
     return state.acc
