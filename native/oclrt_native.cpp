@@ -175,20 +175,27 @@ bool decode_new_rle(Cursor& c, uint8_t* scan /* W*4, planar-by-comp */,
   return true;
 }
 
-bool decode_old_rle(Cursor& c, const uint8_t seed[4], uint8_t* scan, int w) {
+// seed: optional literal first pixel (mixed-mode, hdrloader.cpp:131-136);
+// a repeat code as the very first record references the pixel before the
+// scanline — UB in the reference; defined here as (0,0,0,0).
+bool decode_old_rle(Cursor& c, const uint8_t* seed, uint8_t* scan, int w) {
   int x = 0;
   int rshift = 0;
-  std::memcpy(scan, seed, 4);
-  x = 1;
+  if (seed) {
+    std::memcpy(scan, seed, 4);
+    x = 1;
+  }
   while (x < w) {
     if (!c.ok(4)) return false;
     const uint8_t* px = c.p;
     c.p += 4;
     if (px[0] == 1 && px[1] == 1 && px[2] == 1) {
       int count = ((int)px[3]) << rshift;
-      if (x + count > w || x == 0) return false;
+      if (x + count > w) return false;
+      uint8_t prev[4] = {0, 0, 0, 0};
+      if (x > 0) std::memcpy(prev, &scan[(x - 1) * 4], 4);
       for (int i = 0; i < count; i++)
-        std::memcpy(&scan[(x + i) * 4], &scan[(x - 1) * 4], 4);
+        std::memcpy(&scan[(x + i) * 4], prev, 4);
       x += count;
       rshift += 8;
     } else {
@@ -253,17 +260,28 @@ int oclrt_load_hdr(const char* path, float** out_img, int* out_w,
   std::vector<uint8_t> scan(w * 4);
   Cursor c{data.data() + pos, data.data() + data.size()};
   for (int y = 0; y < h; y++) {
-    if (!c.ok(4)) {
-      std::free(img);
-      return 5;
-    }
-    const uint8_t* px = c.p;
-    c.p += 4;
+    // The reference's exact fallback ladder (hdrloader.cpp:122-139): see
+    // io/hdr.py decode_hdr for the rules (byte-equal implementations).
     bool ok;
-    if (px[0] == 2 && px[1] == 2 && ((px[2] << 8) | px[3]) == w) {
-      ok = decode_new_rle(c, scan.data(), w);
+    if (w < 8 || w > 0x7fff) {
+      ok = decode_old_rle(c, nullptr, scan.data(), w);
+    } else if (!c.ok(1)) {
+      ok = false;
+    } else if (*c.p != 2) {
+      ok = decode_old_rle(c, nullptr, scan.data(), w);
     } else {
-      ok = decode_old_rle(c, px, scan.data(), w);
+      if (!c.ok(4)) {
+        std::free(img);
+        return 5;
+      }
+      const uint8_t* px = c.p;
+      c.p += 4;
+      if (px[1] != 2 || (px[2] & 128)) {
+        uint8_t seed[4] = {2, px[1], px[2], px[3]};
+        ok = decode_old_rle(c, seed, scan.data(), w);
+      } else {
+        ok = decode_new_rle(c, scan.data(), w);
+      }
     }
     if (!ok) {
       std::free(img);

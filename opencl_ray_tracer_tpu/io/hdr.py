@@ -46,8 +46,12 @@ def _decode_new_rle(data: bytes, pos: int, width: int):
 
 
 def _decode_old_rle(data: bytes, pos: int, width: int, seeded=None):
-    """Old-RLE scanline: (1,1,1,n) repeat codes.  hdrloader.cpp:161-191."""
-    out = np.empty((width, 4), np.uint8)
+    """Old-RLE scanline: (1,1,1,n) repeat codes.  hdrloader.cpp:161-191.
+
+    A repeat code as the very first record references the pixel before the
+    scanline — stack garbage in the reference (UB).  We define it as
+    (0,0,0,0) instead of copying the UB."""
+    out = np.zeros((width, 4), np.uint8)
     x = 0
     rshift = 0
     if seeded is not None:
@@ -58,7 +62,8 @@ def _decode_old_rle(data: bytes, pos: int, width: int, seeded=None):
         pos += 4
         if px[0] == 1 and px[1] == 1 and px[2] == 1:
             count = int(px[3]) << rshift
-            out[x:x + count] = out[x - 1]
+            if x > 0:
+                out[x:x + count] = out[x - 1]
             x += count
             rshift += 8
         else:
@@ -90,15 +95,27 @@ def decode_hdr(data: bytes) -> np.ndarray:
 
     img = np.empty((h, w, 3), np.float32)
     for y in range(h):
-        px = np.frombuffer(data, np.uint8, 4, pos)
-        if px[0] == 2 and px[1] == 2 and (int(px[2]) << 8 | int(px[3])) == w:
-            pos += 4
-            rgbe, pos = _decode_new_rle(data, pos, w)
+        # The reference's exact fallback ladder (hdrloader.cpp:122-139):
+        # 1. width outside [MINELEN=8, MAXELEN=0x7fff] -> old-RLE, nothing
+        #    consumed;
+        # 2. first byte != 2 -> unread it, old-RLE the whole line;
+        # 3. bytes (2, G, B, E) with G != 2 or B & 128 -> that 4-tuple is a
+        #    LITERAL first pixel (R forced to 2), old-RLE decodes the
+        #    remaining width-1 (mixed-mode seeding);
+        # 4. else new-RLE (the encoded length (B<<8)|E is NOT validated
+        #    against the width — the reference ignores it).
+        if w < 8 or w > 0x7fff:
+            rgbe, pos = _decode_old_rle(data, pos, w)
+        elif data[pos] != 2:
+            rgbe, pos = _decode_old_rle(data, pos, w)
         else:
-            # First pixel already consumed conceptually; old decoder treats
-            # it as a literal first pixel (hdrloader.cpp:86-91 feeds it in).
+            px = np.frombuffer(data, np.uint8, 4, pos)
             pos += 4
-            rgbe, pos = _decode_old_rle(data, pos, w, seeded=px)
+            if px[1] != 2 or (px[2] & 128):
+                seed = np.array([2, px[1], px[2], px[3]], np.uint8)
+                rgbe, pos = _decode_old_rle(data, pos, w, seeded=seed)
+            else:
+                rgbe, pos = _decode_new_rle(data, pos, w)
         img[y] = _convert_scanline(rgbe)
     return img
 
