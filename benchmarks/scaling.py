@@ -73,7 +73,26 @@ def main():
     for r in results:
         r["efficiency"] = round(r["samples_per_s"]
                                 / (base * r["devices"]), 4)
-    print(json.dumps(results))
+    backend = jax.default_backend()
+    virtual = (backend == "cpu"
+               and "host_platform_device_count"
+               in os.environ.get("XLA_FLAGS", ""))
+    out = {
+        "backend": backend,
+        "devices_available": n_max,
+        "config": {"width": args.width, "height": args.height,
+                   "spp": args.spp, "depth": args.depth,
+                   "pallas": bool(args.pallas)},
+        "note": ("virtual CPU devices share the same physical cores: this "
+                 "run validates the sharded code path and its overheads "
+                 "(total throughput should stay ~flat), not real speedup — "
+                 "ICI scaling needs real chips"
+                 if virtual else
+                 "per-device efficiency vs linear scaling of the 1-device "
+                 "throughput"),
+        "results": results,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

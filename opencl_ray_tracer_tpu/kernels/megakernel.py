@@ -30,7 +30,15 @@ clamp-before-average (gpu_kernel.cl:632-638), NaN -> running-sum channel
 accumulated throughput (:342-347).
 
 Scope: spheres + gradient/constant sky (the benchmark scenes).  HDR-sky and
-triangle scenes fall back to the jnp path (render.py dispatches).
+triangle scenes use the fused mesh kernel (kernels/megamesh.py).
+
+Large sphere counts (the book-cover scene, ~100 spheres) use a grouped
+fold: spheres are ordered into spatial groups of <=16 (the same
+median-split ordering as the mesh clusters), each group carries an AABB in
+SMEM, and per bounce a group is skipped (``@pl.when``) unless some live
+lane's ray enters its box closer than the running best t.  Attribute
+selection folds INSIDE the intersection loop (only tested spheres pay
+selects), replacing the O(n_spheres)-per-field gather fold.
 """
 
 from __future__ import annotations
@@ -115,10 +123,27 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                  spp: int, max_depth: int, t_min: float,
                  sky_kind: int, clamp_samples: bool, nan_policy: str,
                  has_metal: bool, has_diel: bool, has_emit: bool,
-                 has_fuzz: bool, has_aperture: bool):
-    """Build the kernel body with all config baked in statically."""
+                 has_fuzz: bool, has_aperture: bool,
+                 sphere_groups=None):
+    """Build the kernel body with all config baked in statically.
 
-    def kernel(off_ref, cam_ref, sph_ref, r_ref, g_ref, b_ref, st, acc):
+    sphere_groups: optional tuple of tuples of (permuted) sphere indices —
+    the grouped fold for large sphere counts (module docstring).
+    """
+    # grouped-fold scratch rows: running winner attributes (selected inside
+    # the intersection loop; only tested spheres pay selects)
+    fold_fields = [F_CX, F_CY, F_CZ, F_INVR, F_ALR, F_ALG, F_ALB, F_TYPE]
+    if has_fuzz:
+        fold_fields.append(F_FUZZ)
+    if has_diel:
+        fold_fields.append(F_IOR)
+        fold_fields.append(F_INVIOR)
+    fold_row = {f: 1 + k for k, f in enumerate(fold_fields)}  # row 0 = t
+    n_fold = 1 + len(fold_fields)
+
+    def kernel(off_ref, cam_ref, sph_ref, grp_ref, r_ref, g_ref, b_ref,
+               st, acc, *rest):
+        sph_sc = rest[0] if sphere_groups is not None else None
         tile = pl.program_id(0)
         shape = (TILE_ROWS, LANES)
         # off_ref row 0: [global pixel offset, seed] — both traced so
@@ -211,9 +236,8 @@ def _make_kernel(n_spheres: int, width: int, height: int,
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a              # the bounce's one divide
             inv_len = jax.lax.rsqrt(a)
-            best_t = jnp.full(shape, BIG)
-            best_i = jnp.zeros(shape, jnp.int32)
-            for i in range(n_spheres):
+
+            def sphere_test(i):
                 ocx = ox - sph_ref[F_CX, i]
                 ocy = oy - sph_ref[F_CY, i]
                 ocz = oz - sph_ref[F_CZ, i]
@@ -226,22 +250,74 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                 r1 = (-half_b + sq) * inv_a
                 ok0 = (disc >= 0.0) & (r0 >= t_min)
                 ok1 = (disc >= 0.0) & (r1 >= t_min)
-                t_i = jnp.where(ok0, r0, jnp.where(ok1, r1, BIG))
-                upd = t_i < best_t
-                best_t = jnp.where(upd, t_i, best_t)
-                best_i = jnp.where(upd, i, best_i)
+                return jnp.where(ok0, r0, jnp.where(ok1, r1, BIG))
+
+            if sphere_groups is None:
+                best_t = jnp.full(shape, BIG)
+                best_i = jnp.zeros(shape, jnp.int32)
+                for i in range(n_spheres):
+                    t_i = sphere_test(i)
+                    upd = t_i < best_t
+                    best_t = jnp.where(upd, t_i, best_t)
+                    best_i = jnp.where(upd, i, best_i)
+
+                def gather(field, init=0.0):
+                    v = jnp.full(shape, init, jnp.float32)
+                    for i in range(n_spheres):
+                        v = jnp.where(best_i == i, sph_ref[field, i], v)
+                    return v
+            else:
+                # grouped fold: per-group AABB skip + entry-t culling;
+                # attributes fold with the winner inside the loop
+                sph_sc[0] = jnp.full(shape, BIG)
+                for k in range(1, n_fold):
+                    sph_sc[k] = zero
+                inv_dx = 1.0 / dx
+                inv_dy = 1.0 / dy
+                inv_dz = 1.0 / dz
+                active_now = sample_f < spp_f
+                for g, members in enumerate(sphere_groups):
+                    t1x = (grp_ref[g, 0] - ox) * inv_dx
+                    t2x = (grp_ref[g, 3] - ox) * inv_dx
+                    t1y = (grp_ref[g, 1] - oy) * inv_dy
+                    t2y = (grp_ref[g, 4] - oy) * inv_dy
+                    t1z = (grp_ref[g, 2] - oz) * inv_dz
+                    t2z = (grp_ref[g, 5] - oz) * inv_dz
+                    lo = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                                 jnp.minimum(t1y, t2y)),
+                                     jnp.minimum(t1z, t2z))
+                    hi = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                                 jnp.maximum(t1y, t2y)),
+                                     jnp.maximum(t1z, t2z))
+                    m_g = ((hi > jnp.maximum(lo, 0.0))
+                           & (lo < sph_sc[0]) & active_now)
+                    s_g = jnp.max(m_g.astype(jnp.int32))
+
+                    @pl.when(s_g > 0)
+                    def _group(members=members, m_g=m_g):
+                        for i in members:
+                            t_i = sphere_test(i)
+                            upd = (t_i < sph_sc[0]) & m_g
+                            sph_sc[0] = jnp.where(upd, t_i, sph_sc[0])
+                            for f in fold_fields:
+                                sph_sc[fold_row[f]] = jnp.where(
+                                    upd, sph_ref[f, i],
+                                    sph_sc[fold_row[f]])
+
+                best_t = sph_sc[0]
+
+                def gather(field, init=0.0):
+                    row = fold_row.get(field)
+                    v = sph_sc[row]
+                    if init != 0.0:
+                        v = jnp.where(best_t < BIG, v, init)
+                    return v
 
             hit = best_t < BIG
             t_safe = jnp.where(hit, best_t, 1.0)
             hx = ox + t_safe * dx
             hy = oy + t_safe * dy
             hz = oz + t_safe * dz
-
-            def gather(field, init=0.0):
-                v = jnp.full(shape, init, jnp.float32)
-                for i in range(n_spheres):
-                    v = jnp.where(best_i == i, sph_ref[field, i], v)
-                return v
 
             scx = gather(F_CX)
             scy = gather(F_CY)
@@ -451,9 +527,15 @@ def _camera_table(scene: Scene):
     return jnp.pad(vals, (0, LANES - vals.shape[0])).reshape(1, LANES)
 
 
-def _sphere_table(scene: Scene):
+def _sphere_table(scene: Scene, perm=None):
     s = scene.spheres
     n = s.count
+    if perm is not None:
+        import dataclasses as _dc
+        p = jnp.asarray(np.asarray(perm, np.int32))
+        s = _dc.replace(
+            s, center=s.center[p], radius=s.radius[p], albedo=s.albedo[p],
+            fuzz=s.fuzz[p], ior=s.ior[p], mat_type=s.mat_type[p])
     tab = jnp.zeros((N_FIELDS, max(LANES, n)), jnp.float32)
     tab = tab.at[F_CX, :n].set(s.center[:, 0])
     tab = tab.at[F_CY, :n].set(s.center[:, 1])
@@ -469,6 +551,24 @@ def _sphere_table(scene: Scene):
     tab = tab.at[F_INVR, :n].set(1.0 / s.radius)
     tab = tab.at[F_INVIOR, :n].set(1.0 / jnp.maximum(s.ior, 1e-8))
     return tab
+
+
+def _sphere_group_aabbs(scene: Scene, perm, groups):
+    """(n_groups, 6) [min(3), max(3)] over each group's spheres (traced),
+    slightly padded (slab-test conservatism)."""
+    p = jnp.asarray(np.asarray(perm, np.int32))
+    c = scene.spheres.center[p]
+    r = scene.spheres.radius[p][:, None]
+    lo = c - r
+    hi = c + r
+    rows = []
+    for members in groups:
+        i0, i1 = members[0], members[-1] + 1
+        gmin = lo[i0:i1].min(axis=0)
+        gmax = hi[i0:i1].max(axis=0)
+        pad = (gmax - gmin).max() * 1e-5 + 1e-6
+        rows.append(jnp.concatenate([gmin - pad, gmax + pad]))
+    return jnp.stack(rows)
 
 
 def render_pallas(scene: Scene, cfg: RenderConfig, seed: int = 0,
@@ -488,11 +588,19 @@ def render_pallas(scene: Scene, cfg: RenderConfig, seed: int = 0,
                               jnp.int32(pix_offset))
 
 
+SPHERE_GROUP_MIN = 24   # grouped fold kicks in above this sphere count
+SPHERE_GROUP_SIZE = 16
+
+
 def specialize_flags(scene: Scene):
     """Static material-presence specialization flags: scenes without
     dielectric / emissive / fuzzy-metal spheres compile without those code
     paths.  Must be called on a CONCRETE scene (outside jit/shard_map);
-    pass the result to render_pallas_inner from traced contexts."""
+    pass the result to render_pallas_inner from traced contexts.
+
+    For large sphere counts the flags carry a spatial grouping plan
+    (permutation + group partition, both static) for the grouped fold.
+    """
     types = np.asarray(scene.spheres.mat_type)
     fuzz = np.asarray(scene.spheres.fuzz)
     aperture = float(np.asarray(scene.camera.aperture_deg))
@@ -501,16 +609,29 @@ def specialize_flags(scene: Scene):
     has_emit = bool((types == mat.EMISSIVE).any())
     has_fuzz = bool((fuzz[types == mat.METAL] > 0).any()) if has_metal \
         else False
-    return (has_metal, has_diel, has_emit, has_fuzz, aperture > 0.0)
+    n = scene.spheres.count
+    plan = None
+    if n > SPHERE_GROUP_MIN:
+        from ..tracer.clusters import _bvh_order
+        centers = np.asarray(scene.spheres.center)
+        runs = _bvh_order(np.arange(n, dtype=np.int32), centers,
+                          SPHERE_GROUP_SIZE)
+        order = np.concatenate(runs)
+        groups = []
+        for s in range(0, n, SPHERE_GROUP_SIZE):
+            groups.append(tuple(range(s, min(n, s + SPHERE_GROUP_SIZE))))
+        plan = (tuple(int(i) for i in order), tuple(groups))
+    return (has_metal, has_diel, has_emit, has_fuzz, aperture > 0.0, plan)
 
 
 def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
                         flags, rows, pix_offset):
     """Trace-safe megakernel call: flags from specialize_flags, scene may
     be traced (used inside shard_map, parallel/sharded.py)."""
-    has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags
+    has_metal, has_diel, has_emit, has_fuzz, has_aperture, plan = flags
     n_pix = cfg.width * rows
     n_tiles = -(-n_pix // TILE)
+    perm, groups = plan if plan is not None else (None, None)
 
     kernel = _make_kernel(
         n_spheres=scene.spheres.count, width=cfg.width, height=cfg.height,
@@ -518,7 +639,23 @@ def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
         t_min=cfg.t_min, sky_kind=scene.sky.kind,
         clamp_samples=cfg.clamp_samples, nan_policy=cfg.nan_policy,
         has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
-        has_fuzz=has_fuzz, has_aperture=has_aperture)
+        has_fuzz=has_fuzz, has_aperture=has_aperture,
+        sphere_groups=groups)
+
+    if plan is not None:
+        grp_tab = _sphere_group_aabbs(scene, perm, groups)
+    else:
+        grp_tab = jnp.zeros((1, 6), jnp.float32)
+
+    # grouped-fold scratch rows (mirror _make_kernel's fold_fields)
+    n_fold = 9 + (1 if has_fuzz else 0) + (2 if has_diel else 0)
+    scratch_shapes = [
+        pltpu.VMEM((N_STATE, TILE_ROWS, LANES), jnp.float32),
+        pltpu.VMEM((3, TILE_ROWS, LANES), jnp.float32),
+    ]
+    if groups is not None:
+        scratch_shapes.append(
+            pltpu.VMEM((n_fold, TILE_ROWS, LANES), jnp.float32))
 
     out_shape = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES),
                                      jnp.float32)
@@ -533,20 +670,18 @@ def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # group AABBs
         ],
         out_specs=[
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(3)
         ],
-        scratch_shapes=[
-            pltpu.VMEM((N_STATE, TILE_ROWS, LANES), jnp.float32),
-            pltpu.VMEM((3, TILE_ROWS, LANES), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(jnp.stack([jnp.int32(pix_offset),
                  jnp.int32(seed)]).reshape(1, 2),
-      _camera_table(scene), _sphere_table(scene))
+      _camera_table(scene), _sphere_table(scene, perm), grp_tab)
 
     img = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     return img[:n_pix].reshape(rows, cfg.width, 3)

@@ -353,9 +353,18 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
             n_spp = min(spp_chunk, cfg.spp - s0)
             it = int(chunk_probe(scene, jnp.int32(r0), jnp.int32(s0),
                                  row_chunk, n_spp))
-            n_iters = -(-it // 16) * 16  # bucket: bounded recompiles
+            # coarse bucketing + a high-water mark: the scan length is a
+            # static shape, so every distinct value recompiles the VJP —
+            # this pins repeated runs (new seeds, nearby chunks) to one
+            # compiled program after warmup
+            key = (cfg, row_chunk, n_spp)
+            n_iters = max(-(-it // 64) * 64, _ITER_HIGH_WATER.get(key, 0))
+            _ITER_HIGH_WATER[key] = n_iters
             g = chunk_vjp(scene, jnp.int32(r0), jnp.int32(s0),
                           g_img[r0:r0 + row_chunk], row_chunk, n_spp,
                           n_iters)
             grads = g if grads is None else jax.tree.map(_acc, grads, g)
     return loss, img, grads
+
+
+_ITER_HIGH_WATER: dict = {}
