@@ -388,3 +388,84 @@ def test_scalar_vs_vectorized_two_boxes():
     d = np.stack([rs.uniform(-1.2, 1.2, 48), rs.uniform(-0.8, 0.8, 48),
                   -np.ones(48)], axis=1).astype(np.float32)
     _assert_scalar_match(scene, o, d)
+
+
+# ---- full-pipeline scalar golden image (independent cross-check) ----
+
+def scalar_render(scene, width, height, spp, max_depth, seed):
+    """A complete scalar-Python render: CalculateCamera (cl_camera.cpp:3-44
+    incl. the degrees-aperture quirk), per-pixel sample loop with GetRay
+    (gpu_kernel.cl:559-578, 620-648), clamp-before-average and the NaN
+    running-sum policy — driven by the same counter draws as the
+    vectorized renderer.  This is the independent oracle for the golden
+    image tests (the repo's goldens are otherwise self-rendered)."""
+    cam = scene.camera
+    aperture = float(cam.aperture_deg) * math.pi / 180.0
+    theta = float(cam.vfov_deg) * math.pi / 180.0
+    hh = math.tan(theta / 2.0)
+    vh = 2.0 * hh * float(cam.focus_dist)
+    vw = float(cam.aspect_ratio) * vh
+    lf = np.asarray(cam.look_from, np.float64)
+    la = np.asarray(cam.look_at, np.float64)
+    vup = np.asarray(cam.vup, np.float64)
+    w = lf - la
+    w /= np.linalg.norm(w)
+    u = np.cross(vup, w)
+    u /= np.linalg.norm(u)
+    v = np.cross(w, u)
+    horizontal = u * vw
+    vertical = v * vh
+    llc = lf - horizontal / 2 - vertical / 2 - w * float(cam.focus_dist)
+    dradius = float(cam.focus_dist) * math.tan(aperture / 2.0)
+    ddu = u * dradius
+    ddv = v * dradius
+
+    img = np.zeros((height, width, 3), np.float32)
+    for row in range(height):
+        for col in range(width):
+            pix = row * width + col
+            acc = [0.0, 0.0, 0.0]
+            for s in range(spp):
+                u0, u1, u2, u3 = _draws(seed, pix, s, 0)
+                uu = (col + u0) / width
+                vv = (row + u1) / height
+                if aperture > 0:
+                    r = math.sqrt(u2)
+                    th = 2.0 * math.pi * u3
+                    o = lf + ddu * (r * math.cos(th)) \
+                        + ddv * (r * math.sin(th))
+                else:
+                    o = lf
+                d = llc + horizontal * uu + vertical * vv - o
+                c = scalar_ray_colour(scene, tuple(o), tuple(d), pix, s,
+                                      seed, max_depth)
+                for k in range(3):
+                    ck = min(max(c[k], 0.0), 1.0)
+                    if math.isnan(ck):
+                        ck = acc[k]
+                    acc[k] += ck
+            img[row, col] = [a / spp for a in acc]
+    return img
+
+
+def test_full_image_scalar_golden_readme():
+    w, h, spp, depth = 24, 12, 2, 4
+    scene = ort.readme_scene(aspect_ratio=w / h)
+    cfg = ort.RenderConfig(width=w, height=h, spp=spp, max_depth=depth)
+    vec = np.asarray(ort.render(scene, cfg, seed=5))
+    want = scalar_render(scene, w, h, spp, depth, 5)
+    close = np.isclose(vec, want, atol=5e-4).mean()
+    assert close > 0.995, close
+    assert abs(vec.mean() - want.mean()) < 1e-3
+
+
+def test_full_image_scalar_golden_reference_aperture():
+    # reference camera: aperture 1.2 degrees (DoF path), all 4 materials
+    w, h, spp, depth = 20, 10, 2, 4
+    scene = ort.reference_scene(aspect_ratio=w / h)
+    cfg = ort.RenderConfig(width=w, height=h, spp=spp, max_depth=depth)
+    vec = np.asarray(ort.render(scene, cfg, seed=3))
+    want = scalar_render(scene, w, h, spp, depth, 3)
+    close = np.isclose(vec, want, atol=5e-4).mean()
+    assert close > 0.99, close
+    assert abs(vec.mean() - want.mean()) < 1.5e-3
