@@ -39,9 +39,9 @@ from ..scene import Scene
 from ..tracer.intersect import BIG, TRI_EPS, HitInfo, closest_hit, hit_aabbs
 from ..tracer import mesh_accel as ma
 
-TILE_R = 256       # rays per grid cell (512 overflows the 16 MB scoped
-                   # VMEM: resident weight table + epilogue temps; the
-                   # per-ray gate rides as int8 to stay under the limit)
+TILE_R = 192       # rays per grid cell: 256+ overflows the 16 MB scoped
+                   # VMEM (resident weight table + double-buffered inputs
+                   # + (TILE_R, 4*chunk) matmul/epilogue temps)
 CHUNK = 2048       # triangles per inner step without a cluster plan
 PLAN_CHUNK = 512   # finer chunks when cluster-culling (tracer/clusters.py)
 NF = 16            # feature rows (10 used, padded)
@@ -130,12 +130,11 @@ def _pallas_closest_tri(feats, w_flat, chunk_box, n_chunks, scene, o, d,
         cl_hit = hit_aabbs(o, d, feats.cluster_min, feats.cluster_max)
         cl_hit = jnp.pad(cl_hit, ((0, pad), (0, 0)))       # (R_pad, n_chunks)
         bid = np.asarray(feats.chunk_box_id)
-        ray_chunk_gate = (cl_hit & bh[:, bid]).astype(jnp.int8)
+        ray_chunk_gate = (cl_hit & bh[:, bid]).astype(jnp.int32)
     else:
         # a ray participates in chunk c iff it hits one of the chunk's boxes
-        ray_chunk_gate = ((bh.astype(jnp.int32)
-                           @ chunk_box.T.astype(jnp.int32)) > 0
-                          ).astype(jnp.int8)                # (R_pad, n_chunks)
+        ray_chunk_gate = (bh.astype(jnp.int32)
+                          @ chunk_box.T.astype(jnp.int32))  # (R_pad, n_chunks)
     # tile-level chunk gates: tile runs a chunk iff any of its rays does
     gates = (ray_chunk_gate.reshape(n_tiles, TILE_R, n_chunks)
              .max(axis=1).astype(jnp.int32))                # (n_tiles, n_chunks)

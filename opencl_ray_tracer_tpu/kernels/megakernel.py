@@ -130,17 +130,6 @@ def _make_kernel(n_spheres: int, width: int, height: int,
     sphere_groups: optional tuple of tuples of (permuted) sphere indices —
     the grouped fold for large sphere counts (module docstring).
     """
-    # grouped-fold scratch rows: running winner attributes (selected inside
-    # the intersection loop; only tested spheres pay selects)
-    fold_fields = [F_CX, F_CY, F_CZ, F_INVR, F_ALR, F_ALG, F_ALB, F_TYPE]
-    if has_fuzz:
-        fold_fields.append(F_FUZZ)
-    if has_diel:
-        fold_fields.append(F_IOR)
-        fold_fields.append(F_INVIOR)
-    fold_row = {f: 1 + k for k, f in enumerate(fold_fields)}  # row 0 = t
-    n_fold = 1 + len(fold_fields)
-
     def kernel(off_ref, cam_ref, sph_ref, grp_ref, r_ref, g_ref, b_ref,
                st, acc, *rest):
         sph_sc = rest[0] if sphere_groups is not None else None
@@ -267,11 +256,13 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                         v = jnp.where(best_i == i, sph_ref[field, i], v)
                     return v
             else:
-                # grouped fold: per-group AABB skip + entry-t culling;
-                # attributes fold with the winner inside the loop
+                # grouped fold: per-group AABB skip + entry-t culling.
+                # Only (t, winner index) live in scratch (pl.when bodies
+                # can't return registers); attribute gathers stay in
+                # registers afterwards — a 12-row attribute fold in scratch
+                # measured SLOWER than the selects it saved.
                 sph_sc[0] = jnp.full(shape, BIG)
-                for k in range(1, n_fold):
-                    sph_sc[k] = zero
+                sph_sc[1] = zero
                 inv_dx = 1.0 / dx
                 inv_dy = 1.0 / dy
                 inv_dz = 1.0 / dz
@@ -295,22 +286,24 @@ def _make_kernel(n_spheres: int, width: int, height: int,
 
                     @pl.when(s_g > 0)
                     def _group(members=members, m_g=m_g):
+                        bt = sph_sc[0]
+                        bi = sph_sc[1]
                         for i in members:
                             t_i = sphere_test(i)
-                            upd = (t_i < sph_sc[0]) & m_g
-                            sph_sc[0] = jnp.where(upd, t_i, sph_sc[0])
-                            for f in fold_fields:
-                                sph_sc[fold_row[f]] = jnp.where(
-                                    upd, sph_ref[f, i],
-                                    sph_sc[fold_row[f]])
+                            upd = (t_i < bt) & m_g
+                            bt = jnp.where(upd, t_i, bt)
+                            bi = jnp.where(upd, float(i), bi)
+                        sph_sc[0] = bt
+                        sph_sc[1] = bi
 
                 best_t = sph_sc[0]
+                best_i = sph_sc[1]  # f32 winner index (exact small ints)
 
                 def gather(field, init=0.0):
-                    row = fold_row.get(field)
-                    v = sph_sc[row]
-                    if init != 0.0:
-                        v = jnp.where(best_t < BIG, v, init)
+                    v = jnp.full(shape, init, jnp.float32)
+                    for i in range(n_spheres):
+                        v = jnp.where(best_i == float(i), sph_ref[field, i],
+                                      v)
                     return v
 
             hit = best_t < BIG
@@ -614,12 +607,25 @@ def specialize_flags(scene: Scene):
     if n > SPHERE_GROUP_MIN:
         from ..tracer.clusters import _bvh_order
         centers = np.asarray(scene.spheres.center)
+        radii = np.asarray(scene.spheres.radius)
         runs = _bvh_order(np.arange(n, dtype=np.int32), centers,
                           SPHERE_GROUP_SIZE)
         order = np.concatenate(runs)
+        spans = [(s, min(n, s + SPHERE_GROUP_SIZE))
+                 for s in range(0, n, SPHERE_GROUP_SIZE)]
+        # near-to-far group processing (distance from the camera): the
+        # running best t shrinks early, so entry-t culling screens the
+        # far groups for primary rays
+        eye = np.asarray(scene.camera.look_from)
+        key = [float((np.linalg.norm(centers[order[a:b]] - eye, axis=1)
+                      - radii[order[a:b]]).min()) for a, b in spans]
+        spans = [spans[i] for i in np.argsort(key)]
+        order = np.concatenate([order[a:b] for a, b in spans])
         groups = []
-        for s in range(0, n, SPHERE_GROUP_SIZE):
-            groups.append(tuple(range(s, min(n, s + SPHERE_GROUP_SIZE))))
+        s = 0
+        for a, b in spans:
+            groups.append(tuple(range(s, s + (b - a))))
+            s += b - a
         plan = (tuple(int(i) for i in order), tuple(groups))
     return (has_metal, has_diel, has_emit, has_fuzz, aperture > 0.0, plan)
 
@@ -647,15 +653,14 @@ def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
     else:
         grp_tab = jnp.zeros((1, 6), jnp.float32)
 
-    # grouped-fold scratch rows (mirror _make_kernel's fold_fields)
-    n_fold = 9 + (1 if has_fuzz else 0) + (2 if has_diel else 0)
     scratch_shapes = [
         pltpu.VMEM((N_STATE, TILE_ROWS, LANES), jnp.float32),
         pltpu.VMEM((3, TILE_ROWS, LANES), jnp.float32),
     ]
     if groups is not None:
+        # grouped fold: (best t, winner index) scratch
         scratch_shapes.append(
-            pltpu.VMEM((n_fold, TILE_ROWS, LANES), jnp.float32))
+            pltpu.VMEM((2, TILE_ROWS, LANES), jnp.float32))
 
     out_shape = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES),
                                      jnp.float32)

@@ -39,6 +39,23 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+# Tables up to this size gather via select-folds: the backward of a
+# jnp.take is a scatter-add (a TPU performance cliff at estimator rates),
+# while a select-fold transposes to dense masked reductions.
+SELECT_GATHER_MAX = 64
+
+
+def _sel_gather(table, idx, n):
+    """table[idx] as a select-fold (dense-reduction backward)."""
+    out = jnp.zeros(idx.shape + table.shape[1:], table.dtype)
+    for i in range(n):
+        m = idx == i
+        if table.ndim > 1:
+            m = m[:, None]
+        out = jnp.where(m, table[i], out)
+    return out
+
+
 def winner_hitinfo(scene: Scene, o, d, best_kind, best_idx, hit,
                    t_min) -> HitInfo:
     """Differentiable hit record for known winners.
@@ -50,11 +67,18 @@ def winner_hitinfo(scene: Scene, o, d, best_kind, best_idx, hit,
     spheres, tris = scene.spheres, scene.triangles
     is_tri = best_kind == 1
 
+    def take(table, idx, n):
+        if n <= SELECT_GATHER_MAX and jnp.issubdtype(table.dtype,
+                                                     jnp.floating):
+            return _sel_gather(table, idx, n)
+        return table[idx]
+
     # ---- sphere branch: recompute the selected quadratic root ----
     if spheres.count > 0:
+        ns = spheres.count
         sidx = jnp.where(~is_tri & hit, best_idx, 0)
-        c = spheres.center[sidx]                     # (R,3)
-        rad = spheres.radius[sidx]
+        c = take(spheres.center, sidx, ns)           # (R,3)
+        rad = take(spheres.radius, sidx, ns)
         oc = o - c
         a = _dot(d, d)
         half_b = _dot(oc, d)
@@ -69,9 +93,9 @@ def winner_hitinfo(scene: Scene, o, d, best_kind, best_idx, hit,
         s_t = jnp.where(ok0, root0, root1)
         s_point = o + s_t[:, None] * d
         s_normal = (s_point - c) / rad[:, None]
-        s_albedo = spheres.albedo[sidx]
-        s_fuzz = spheres.fuzz[sidx]
-        s_ior = spheres.ior[sidx]
+        s_albedo = take(spheres.albedo, sidx, ns)
+        s_fuzz = take(spheres.fuzz, sidx, ns)
+        s_ior = take(spheres.ior, sidx, ns)
         s_type = spheres.mat_type[sidx]
     else:
         s_t = jnp.ones((r,))
@@ -84,10 +108,11 @@ def winner_hitinfo(scene: Scene, o, d, best_kind, best_idx, hit,
 
     # ---- triangle branch: recompute Moller-Trumbore for the winner ----
     if tris.count > 0:
+        nt = tris.count
         tidx = jnp.where(is_tri & hit, best_idx, 0)
-        p0 = tris.p0[tidx]
-        p1 = tris.p1[tidx]
-        p2 = tris.p2[tidx]
+        p0 = take(tris.p0, tidx, nt)
+        p1 = take(tris.p1, tidx, nt)
+        p2 = take(tris.p2, tidx, nt)
         e0 = p1 - p0
         e1 = p2 - p0
         h = jnp.cross(d, e1)
@@ -100,9 +125,9 @@ def winner_hitinfo(scene: Scene, o, d, best_kind, best_idx, hit,
         n = jnp.cross(e0, e1)
         t_normal = n / jnp.maximum(
             jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-        t_albedo = tris.albedo[tidx]
-        t_fuzz = tris.fuzz[tidx]
-        t_ior = tris.ior[tidx]
+        t_albedo = take(tris.albedo, tidx, nt)
+        t_fuzz = take(tris.fuzz, tidx, nt)
+        t_ior = take(tris.ior, tidx, nt)
         t_type = tris.mat_type[tidx]
     else:
         t_t = jnp.ones((r,))

@@ -335,12 +335,14 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
                   n_iters):
         def fn(s):
             rows, cols, pids = _grid(row_start, n_rows)
-            return render_rows_wavefront_scan(
+            acc, done = render_rows_wavefront_scan(
                 s, dcfg, rows, cols, pids, jnp.uint32(seed),
-                sample_offset, n_spp, n_iters, hit_fn=_hit(s))
-        _, vjp = jax.vjp(fn, s)
+                sample_offset, n_spp, n_iters, hit_fn=_hit(s),
+                return_done=True)
+            return acc, done
+        _, vjp, done = jax.vjp(fn, s, has_aux=True)
         g = (g_rows / jnp.float32(cfg.spp)).reshape(-1, 3)
-        return vjp(g)[0]
+        return vjp(g)[0], done
 
     def _acc(a, b):
         if hasattr(a, "dtype") and a.dtype == jax.dtypes.float0:
@@ -351,18 +353,26 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
     for r0 in range(0, h, row_chunk):
         for s0 in range(0, cfg.spp, spp_chunk):
             n_spp = min(spp_chunk, cfg.spp - s0)
-            it = int(chunk_probe(scene, jnp.int32(r0), jnp.int32(s0),
-                                 row_chunk, n_spp))
-            # coarse bucketing + a high-water mark: the scan length is a
-            # static shape, so every distinct value recompiles the VJP —
-            # this pins repeated runs (new seeds, nearby chunks) to one
-            # compiled program after warmup
+            # Scan length is a static shape: bucket coarsely and keep a
+            # high-water mark per config so repeated runs hit one compiled
+            # program.  With a cached length the (costly) probe is skipped
+            # entirely; the scan's completion flag guards soundness — if a
+            # new seed needs more iterations, re-probe and re-run.
             key = (cfg, row_chunk, n_spp)
-            n_iters = max(-(-it // 64) * 64, _ITER_HIGH_WATER.get(key, 0))
-            _ITER_HIGH_WATER[key] = n_iters
-            g = chunk_vjp(scene, jnp.int32(r0), jnp.int32(s0),
-                          g_img[r0:r0 + row_chunk], row_chunk, n_spp,
-                          n_iters)
+            n_iters = _ITER_HIGH_WATER.get(key)
+            if n_iters is None:
+                it = int(chunk_probe(scene, jnp.int32(r0), jnp.int32(s0),
+                                     row_chunk, n_spp))
+                n_iters = -(-it // 64) * 64 + 64
+                _ITER_HIGH_WATER[key] = n_iters
+            while True:
+                g, done = chunk_vjp(scene, jnp.int32(r0), jnp.int32(s0),
+                                    g_img[r0:r0 + row_chunk], row_chunk,
+                                    n_spp, n_iters)
+                if bool(done) or n_iters >= n_spp * cfg.max_depth + 1:
+                    break
+                n_iters += 128
+                _ITER_HIGH_WATER[key] = n_iters
             grads = g if grads is None else jax.tree.map(_acc, grads, g)
     return loss, img, grads
 

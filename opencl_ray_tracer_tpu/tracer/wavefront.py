@@ -150,17 +150,22 @@ def render_rows_wavefront(scene: Scene, cfg, rows, cols, pixel_ids, seed,
 
 def render_rows_wavefront_scan(scene: Scene, cfg, rows, cols, pixel_ids,
                                seed, sample_offset, n_samples, n_iters,
-                               hit_fn=None, acc0=None, remat=True):
+                               hit_fn=None, acc0=None, remat=True,
+                               return_done=False):
     """Reverse-differentiable wavefront: the same regeneration body under a
     fixed-length lax.scan.  n_iters (static) must be >= the iteration count
     the while form would take (probe with return_iters; round up to bound
     recompiles) — extra iterations are no-ops (all lanes exhausted).
-    Identical output to render_rows_wavefront."""
-    state, body, _ = _wave_setup(
+    Identical output to render_rows_wavefront.  return_done additionally
+    returns a bool scalar: every lane finished all its samples (callers
+    reusing a cached n_iters check this and re-run larger if False)."""
+    state, body, sample_end = _wave_setup(
         scene, cfg, rows, cols, pixel_ids, seed, sample_offset, n_samples,
         hit_fn, acc0)
     step = lambda st, _: (body(st), None)
     if remat:
         step = jax.checkpoint(step)
     state, _ = jax.lax.scan(step, state, None, length=n_iters)
+    if return_done:
+        return state.acc, jnp.all(state.sample >= sample_end)
     return state.acc
