@@ -39,11 +39,15 @@ from ..scene import Scene
 from ..tracer.intersect import BIG, TRI_EPS, HitInfo, closest_hit, hit_aabbs
 from ..tracer import mesh_accel as ma
 
-TILE_R = 192       # rays per grid cell: 256+ overflows the 16 MB scoped
-                   # VMEM (resident weight table + double-buffered inputs
-                   # + (TILE_R, 4*chunk) matmul/epilogue temps)
-CHUNK = 2048       # triangles per inner step without a cluster plan
-PLAN_CHUNK = 512   # finer chunks when cluster-culling (tracer/clusters.py)
+TILE_R = 512       # rays per grid cell (the proven VMEM fit: smaller
+                   # tiles with 512-triangle chunks crash the Mosaic
+                   # compile service; see megamesh.py for the fine-grained
+                   # cluster kernel)
+CHUNK = 2048       # triangles per inner step
+PLAN_CHUNK = 2048  # cluster-plan chunk: box-exact per-chunk gating + tile
+                   # skip at 2048-triangle granularity (the fused megamesh
+                   # kernel culls at 512; this standalone kernel keeps the
+                   # round-1-proven 512x2048 configuration)
 NF = 16            # feature rows (10 used, padded)
 
 

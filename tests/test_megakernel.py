@@ -72,3 +72,16 @@ def test_non_multiple_of_tile_resolution():
     # width*height not a multiple of the 2048-pixel tile: padded tail.
     cfg = ort.RenderConfig(width=50, height=30, spp=2, max_depth=4)
     _compare(ort.readme_scene(), cfg)
+
+
+def test_grouped_sphere_fold_matches():
+    """The grouped fold (off by default — see SPHERE_GROUP_MIN) must agree
+    with the plain loop; exercised by lowering the threshold."""
+    import opencl_ray_tracer_tpu.kernels.megakernel as mk
+    old = mk.SPHERE_GROUP_MIN
+    mk.SPHERE_GROUP_MIN = 8
+    try:
+        cfg = ort.RenderConfig(width=48, height=32, spp=2, max_depth=4)
+        _compare(ort.book_cover_scene(), cfg, frac=0.01)
+    finally:
+        mk.SPHERE_GROUP_MIN = old
