@@ -53,14 +53,16 @@ def main():
                                early_stop=False)
         mesh = par.make_mesh(n_tile=n, n_sample=1, devices=devices[:n])
 
-        def render(seed):
-            return par.render_sharded(scene, cfg, mesh, seed,
-                                      use_pallas=args.pallas)
+        # jit ONCE with a traced seed: rebuilding the shard_map per call
+        # would retrace (and recompile the Pallas kernel) every time
+        import jax.numpy as jnp
+        render = jax.jit(lambda sd: par.render_sharded(
+            scene, cfg, mesh, sd, use_pallas=args.pallas))
 
-        img = render(0)
+        img = render(jnp.int32(0))
         jax.block_until_ready(img)
         t0 = time.time()
-        jax.block_until_ready(render(1))
+        jax.block_until_ready(render(jnp.int32(1)))
         dt = time.time() - t0
         sps = args.width * args.height * args.spp / dt
         results.append({"devices": n, "seconds": round(dt, 4),
