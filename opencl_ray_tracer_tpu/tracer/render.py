@@ -353,25 +353,32 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
     for r0 in range(0, h, row_chunk):
         for s0 in range(0, cfg.spp, spp_chunk):
             n_spp = min(spp_chunk, cfg.spp - s0)
-            # Scan length is a static shape: bucket coarsely and keep a
-            # high-water mark per config so repeated runs hit one compiled
-            # program.  With a cached length the (costly) probe is skipped
-            # entirely; the scan's completion flag guards soundness — if a
-            # new seed needs more iterations, re-probe and re-run.
+            # Scan length is a static shape and each distinct value is a
+            # full VJP recompile (minutes through a remote-compile
+            # service), so the probed length gets a generous margin
+            # (x1.3 + 128, rounded up to 256) and a high-water cache per
+            # config: chunks and new seeds then virtually never exceed it.
+            # The scan's completion flag still guards soundness — on a
+            # miss, re-probe (not blind-bump) and re-run.
             key = (cfg, row_chunk, n_spp)
-            n_iters = _ITER_HIGH_WATER.get(key)
-            if n_iters is None:
+            cap = n_spp * cfg.max_depth + 1
+
+            def probe_iters():
                 it = int(chunk_probe(scene, jnp.int32(r0), jnp.int32(s0),
                                      row_chunk, n_spp))
-                n_iters = -(-it // 64) * 64 + 64
+                return min(cap, -(-(it * 13 // 10 + 128) // 256) * 256)
+
+            n_iters = _ITER_HIGH_WATER.get(key)
+            if n_iters is None:
+                n_iters = probe_iters()
                 _ITER_HIGH_WATER[key] = n_iters
             while True:
                 g, done = chunk_vjp(scene, jnp.int32(r0), jnp.int32(s0),
                                     g_img[r0:r0 + row_chunk], row_chunk,
                                     n_spp, n_iters)
-                if bool(done) or n_iters >= n_spp * cfg.max_depth + 1:
+                if bool(done) or n_iters >= cap:
                     break
-                n_iters += 128
+                n_iters = max(probe_iters(), n_iters + 256)
                 _ITER_HIGH_WATER[key] = n_iters
             grads = g if grads is None else jax.tree.map(_acc, grads, g)
     return loss, img, grads
