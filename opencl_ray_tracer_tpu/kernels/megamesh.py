@@ -66,8 +66,34 @@ from .megakernel import (BIG, LANES, N_FIELDS, TWO_PI, _U32, _camera_table,
 
 TILE_ROWS = 64
 TILE = TILE_ROWS * LANES
-MESH_CHUNK = 512           # triangles per cluster chunk
+MESH_CHUNK = 1024          # triangles per cluster chunk (measured best on
+                           # the F1 scene: 1024 -> 3.58 s vs 512 -> 3.97 s
+                           # vs 2048 -> 4.18 s — fewer per-iteration chunk
+                           # gates vs coarser culling)
+ROW_GROUP = 8              # rows per gating group in the intersection loop
 HDR_SPP_CHUNK = 8          # samples per dispatch in HDR mode (records)
+
+# Two-pass tail compaction: pass 1 runs the wavefront for at most
+# PASS1_ITERS(spp) iterations (enough for the vast majority of lanes to
+# finish every sample), then the few survivors — deep
+# ground<->car interreflection chains that would otherwise keep ~50
+# mostly-idle tiles iterating — are compacted into dense tiles (sorted by
+# a spatial key so rows regain cluster coherence) and finished by a
+# second, much smaller dispatch.  Exact: identical per-sample draws and
+# accumulation; only the NaN running-sum quirk would see the split
+# accumulator (same caveat as HDR, module docstring).
+PASS1_ITER_FACTOR = 4      # pass-1 iterations per sample (swept on the F1
+PASS1_ITER_SLACK = 8       # scene: 4*spp+8 and 5*spp+16 tie at 2.84 s;
+                           # 8*spp+24 3.16 s; no cap 3.46 s)
+COMPACT_FRACTION = 4       # pass-2 capacity = n_pixels / this (sorted
+                           # dead padding beyond the survivors costs ~one
+                           # iteration per tile, so headroom is cheap)
+N_CONT = 12                # continuation-state rows: pix, o3, d3, thr3,
+                           # sample, depth
+
+
+def _pass1_iters(spp: int) -> int:
+    return spp * PASS1_ITER_FACTOR + PASS1_ITER_SLACK
 
 # Extra camera-table slots for the uniform mesh material (after C_SKY2=21).
 (C_MA_R, C_MA_G, C_MA_B, C_M_FUZZ, C_M_IOR, C_M_INVIOR) = range(22, 28)
@@ -84,35 +110,59 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                  has_metal: bool, has_diel: bool, has_emit: bool,
                  has_fuzz: bool, has_aperture: bool,
                  n_chunks: int, chunk: int, chunk_box_ids: tuple,
-                 n_boxes: int, mesh_mtype: int):
+                 n_boxes: int, mesh_mtype: int,
+                 continuation: bool = False, iter_cap: int | None = None,
+                 emit_state: bool = False):
     """Kernel body with all structure baked statically.
 
     spp here is the per-dispatch sample count (HDR chunks the sample loop).
+    continuation restarts lanes from a packed state (pix id + ray +
+    throughput + counters) instead of camera rays; iter_cap bounds the
+    wavefront loop; emit_state dumps the per-lane state at exit (the
+    two-pass tail compaction, module constants above).
     """
     hdr = sky_kind == KIND_HDR
     c4 = 4 * chunk
 
     def kernel(off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
-               r_ref, g_ref, b_ref, *rest):
+               *io):
+        pos = 0
+        if continuation:
+            state_in = io[0]
+            pos = 1
+        r_ref, g_ref, b_ref = io[pos:pos + 3]
+        pos += 3
         if hdr:
-            rec = rest[0]                       # records output ref
-            st, acc, tri_sc = rest[1], rest[2], rest[3]
+            rec = io[pos]                       # records output ref
+            pos += 1
         else:
-            st, acc, tri_sc = rest[0], rest[1], rest[2]
             rec = None
-        # 2-D image tiles (TILE_ROWS x LANES pixel blocks): primary rays in
-        # a tile are spatially compact, so the per-tile cluster gates
-        # actually fire — a linear 8192-pixel tile spans the full image
-        # width and defeats culling (measured 11.3 s -> see ARCHITECTURE).
-        ti = pl.program_id(0)
-        tj = pl.program_id(1)
+        if emit_state:
+            sout = io[pos]
+            pos += 1
+        st, acc, tri_sc = io[pos], io[pos + 1], io[pos + 2]
         shape = (TILE_ROWS, LANES)
-        px_i = (tj * LANES
-                + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
-        py_i = (off_ref[0, 0] + ti * TILE_ROWS
-                + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
-        valid = (px_i < width) & (py_i < off_ref[0, 3])
-        lin = py_i * width + px_i
+        if continuation:
+            # packed lanes: pixel ids (f32-exact ints, -1 padding) come
+            # from the state rows, not the grid position
+            lin = state_in[0].astype(jnp.int32)
+            valid = lin >= 0
+            lin = jnp.maximum(lin, 0)
+            px_i = lin % width
+            py_i = lin // width
+        else:
+            # 2-D image tiles (TILE_ROWS x LANES pixel blocks): primary
+            # rays in a tile are spatially compact, so the per-tile
+            # cluster gates actually fire — a linear 8192-pixel tile spans
+            # the full image width and defeats culling.
+            ti = pl.program_id(0)
+            tj = pl.program_id(1)
+            px_i = (tj * LANES
+                    + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+            py_i = (off_ref[0, 0] + ti * TILE_ROWS
+                    + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+            valid = (px_i < width) & (py_i < off_ref[0, 3])
+            lin = py_i * width + px_i
         pix_u = lin.astype(_U32)
         px = px_i.astype(jnp.float32)
         py = py_i.astype(jnp.float32)
@@ -152,19 +202,32 @@ def _make_kernel(n_spheres: int, width: int, height: int,
             return ox, oy, oz, dx, dy, dz
 
         # ---- initial state ----
-        ox0, oy0, oz0, dx0, dy0, dz0 = camera_ray(zero)
-        st[S_OX] = ox0
-        st[S_OY] = oy0
-        st[S_OZ] = oz0
-        st[S_DX] = dx0
-        st[S_DY] = dy0
-        st[S_DZ] = dz0
-        st[S_TR] = one
-        st[S_TG] = one
-        st[S_TB] = one
-        # out-of-image padding lanes start exhausted (never traced)
-        st[S_SAMPLE] = jnp.where(valid, 0.0, spp_f_init)
-        st[S_DEPTH] = zero
+        if continuation:
+            st[S_OX] = state_in[1]
+            st[S_OY] = state_in[2]
+            st[S_OZ] = state_in[3]
+            st[S_DX] = state_in[4]
+            st[S_DY] = state_in[5]
+            st[S_DZ] = state_in[6]
+            st[S_TR] = state_in[7]
+            st[S_TG] = state_in[8]
+            st[S_TB] = state_in[9]
+            st[S_SAMPLE] = jnp.where(valid, state_in[10], spp_f_init)
+            st[S_DEPTH] = state_in[11]
+        else:
+            ox0, oy0, oz0, dx0, dy0, dz0 = camera_ray(zero)
+            st[S_OX] = ox0
+            st[S_OY] = oy0
+            st[S_OZ] = oz0
+            st[S_DX] = dx0
+            st[S_DY] = dy0
+            st[S_DZ] = dz0
+            st[S_TR] = one
+            st[S_TG] = one
+            st[S_TB] = one
+            # out-of-image padding lanes start exhausted (never traced)
+            st[S_SAMPLE] = jnp.where(valid, 0.0, spp_f_init)
+            st[S_DEPTH] = zero
         acc[0] = zero
         acc[1] = zero
         acc[2] = zero
@@ -179,6 +242,8 @@ def _make_kernel(n_spheres: int, width: int, height: int,
 
         spp_f = jnp.float32(spp)
         max_iters = spp * max_depth + 1
+        if iter_cap is not None:
+            max_iters = min(max_iters, iter_cap)
 
         def cond(c):
             it, any_active = c
@@ -302,6 +367,22 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                                     _intersect_row(r1)
                                 return 0
 
+                            def row_group(g, _):
+                                # 8-row group gate: a 64-iteration fori is
+                                # ~7us of scalar-branch overhead even when
+                                # every row is gated off — the dominant
+                                # tail cost (measured); inactive groups
+                                # now pay one check
+                                g0 = g * ROW_GROUP
+                                grp = pl.ds(g0, ROW_GROUP)
+                                grp_any = jnp.max(tri_sc[7, grp, :])
+
+                                @pl.when(grp_any > 0.0)
+                                def _grp_body():
+                                    jax.lax.fori_loop(g0, g0 + ROW_GROUP,
+                                                      row, 0)
+                                return 0
+
                             def _intersect_row(r1):
                                 f = jnp.concatenate([
                                     st[S_DX, r1, :], st[S_DY, r1, :],
@@ -377,7 +458,8 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                                     upd, nrm[2:3, :], tri_sc[3, r1, :])
                                 return 0
 
-                            jax.lax.fori_loop(0, TILE_ROWS, row, 0)
+                            jax.lax.fori_loop(0, TILE_ROWS // ROW_GROUP,
+                                              row_group, 0)
 
             tri_t = tri_sc[0]
             tri_win = tri_t < best_t
@@ -608,6 +690,19 @@ def _make_kernel(n_spheres: int, width: int, height: int,
         r_ref[:] = acc[0]
         g_ref[:] = acc[1]
         b_ref[:] = acc[2]
+        if emit_state:
+            sout[0] = jnp.where(valid, lin.astype(jnp.float32), -1.0)
+            sout[1] = st[S_OX]
+            sout[2] = st[S_OY]
+            sout[3] = st[S_OZ]
+            sout[4] = st[S_DX]
+            sout[5] = st[S_DY]
+            sout[6] = st[S_DZ]
+            sout[7] = st[S_TR]
+            sout[8] = st[S_TG]
+            sout[9] = st[S_TB]
+            sout[10] = st[S_SAMPLE]
+            sout[11] = st[S_DEPTH]
 
     return kernel
 
@@ -761,24 +856,73 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
     acc = jnp.zeros((3, hp, wp), jnp.float32)
     sky_sum = jnp.zeros((hp, wp, 3), jnp.float32)
     spp_step = HDR_SPP_CHUNK if hdr else cfg.spp
+
+    def sky_of_records(recs, spp_c):
+        # sum_s throughput_s * sky(direction_s) with XLA's native gathers
+        # (exact: clamp is a no-op, see module docstring)
+        rec = recs.reshape(spp_c, 6, -1)
+        thr = rec[:, 0:3].transpose(0, 2, 1)             # (spp, L, 3)
+        dirs = rec[:, 3:6].transpose(0, 2, 1)
+        sky = sky_colour(scene.sky, dirs)
+        return jnp.sum(thr * sky, axis=0)                # (L, 3)
+
     for s_base in range(0, cfg.spp, spp_step):
         spp_c = min(spp_step, cfg.spp - s_base)
+        cap = _pass1_iters(spp_c)
+        two_pass = spp_c * cfg.max_depth + 1 > 2 * cap and n_chunks > 0
         out = _dispatch(scene, cfg, seed, interpret, flags, rows,
                         row_offset, s_base, spp_c, n_tr, n_tc, w_flat,
                         aabb, boxes, n_chunks, chunk, bids, n_boxes,
-                        cam_tab, sph_tab, hdr)
+                        cam_tab, sph_tab, hdr,
+                        iter_cap=cap if two_pass else None,
+                        emit_state=two_pass)
+        out = list(out)
+        r, g, b = out[:3]
+        pos = 3
         if hdr:
-            r, g, b, recs = out
-            # epilogue: sum_s throughput_s * sky(direction_s) with XLA's
-            # native gathers (exact: clamp is a no-op, see module docstring)
-            rec = recs.reshape(spp_c, 6, hp, wp)
-            thr = rec[:, 0:3].transpose(0, 2, 3, 1)      # (spp,hp,wp,3)
-            dirs = rec[:, 3:6].transpose(0, 2, 3, 1)
-            sky = sky_colour(scene.sky, dirs)
-            sky_sum = sky_sum + jnp.sum(thr * sky, axis=0)
-        else:
-            r, g, b = out
+            sky_sum = sky_sum + sky_of_records(out[pos],
+                                               spp_c).reshape(hp, wp, 3)
+            pos += 1
         acc = acc + jnp.stack([r, g, b])
+
+        if two_pass:
+            # --- tail compaction: pack the surviving deep lanes (sorted
+            # by a spatial key so 128-lane rows regain cluster coherence)
+            # into a small dense dispatch ---
+            state = out[pos].reshape(N_CONT, hp * wp)
+            p_tot = hp * wp
+            alive = (state[10] < spp_c) & (state[0] >= 0)
+            o = state[1:4]
+            q = jnp.clip(((o / (1.0 + jnp.abs(o)) + 1.0)
+                          * 31.5).astype(jnp.int32), 0, 63)
+            key = jnp.where(alive, (q[0] * 64 + q[1]) * 64 + q[2],
+                            jnp.int32(2 ** 30))
+            order = jnp.argsort(key)
+            n2 = min(p_tot,
+                     -(-(p_tot // COMPACT_FRACTION) // TILE) * TILE)
+            sel = order[:n2]
+            state2 = state[:, sel].reshape(N_CONT, n2 // LANES, LANES)
+            out2 = _dispatch(scene, cfg, seed, interpret, flags, rows,
+                             row_offset, s_base, spp_c, n_tr, n_tc,
+                             w_flat, aabb, boxes, n_chunks, chunk, bids,
+                             n_boxes, cam_tab, sph_tab, hdr,
+                             state_in=state2)
+            pix2 = state2[0].reshape(-1).astype(jnp.int32)
+            ok2 = pix2 >= 0
+            pix_s = jnp.maximum(pix2, 0)
+            y2 = jnp.clip(pix_s // cfg.width - row_offset, 0, hp - 1)
+            x2 = jnp.clip(pix_s % cfg.width, 0, wp - 1)
+            okf = ok2.astype(jnp.float32)
+            if hdr:
+                r2, g2, b2, rec2 = out2
+                sky2 = sky_of_records(rec2, spp_c) * okf[:, None]
+                sky_sum = sky_sum.at[y2, x2].add(sky2)
+            else:
+                r2, g2, b2 = out2
+            lane_rgb = jnp.stack([r2.reshape(-1), g2.reshape(-1),
+                                  b2.reshape(-1)], axis=-1) * okf[:, None]
+            acc = acc.transpose(1, 2, 0).at[y2, x2].add(
+                lane_rgb).transpose(2, 0, 1)
 
     img = acc.transpose(1, 2, 0)
     if hdr:
@@ -789,8 +933,10 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
 
 def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
               s_base, spp_c, n_tr, n_tc, w_flat, aabb, boxes, n_chunks,
-              chunk, bids, n_boxes, cam_tab, sph_tab, hdr):
+              chunk, bids, n_boxes, cam_tab, sph_tab, hdr,
+              iter_cap=None, emit_state=False, state_in=None):
     has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type = flags
+    continuation = state_in is not None
     kernel = _make_kernel(
         n_spheres=scene.spheres.count, width=cfg.width, height=cfg.height,
         spp=spp_c, max_depth=cfg.max_depth, t_min=cfg.t_min,
@@ -798,48 +944,83 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
         nan_policy=cfg.nan_policy, has_metal=has_metal, has_diel=has_diel,
         has_emit=has_emit, has_fuzz=has_fuzz, has_aperture=has_aperture,
         n_chunks=n_chunks, chunk=chunk, chunk_box_ids=bids,
-        n_boxes=n_boxes, mesh_mtype=m_type)
+        n_boxes=n_boxes, mesh_mtype=m_type, continuation=continuation,
+        iter_cap=iter_cap, emit_state=emit_state)
 
-    hp, wp = n_tr * TILE_ROWS, n_tc * LANES
-    tile_shape = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
-    out_shape = [tile_shape, tile_shape, tile_shape]
-    out_specs = [pl.BlockSpec((TILE_ROWS, LANES), lambda i, j: (i, j),
-                              memory_space=pltpu.VMEM) for _ in range(3)]
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda *_: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, LANES), lambda *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_FIELDS, LANES), lambda *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, w_flat.shape[1]), lambda *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster AABBs
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # top boxes
+    ]
+    operands = [
+        jnp.stack([jnp.int32(row_offset), jnp.int32(seed),
+                   jnp.int32(s_base),
+                   jnp.int32(row_offset) + jnp.int32(rows)]).reshape(1, 4),
+        cam_tab, sph_tab, w_flat, aabb, boxes,
+    ]
     scratch = [
         pltpu.VMEM((N_STATE, TILE_ROWS, LANES), jnp.float32),
         pltpu.VMEM((3, TILE_ROWS, LANES), jnp.float32),
         pltpu.VMEM((8, TILE_ROWS, LANES), jnp.float32),
     ]
-    if hdr:
-        out_shape.append(jax.ShapeDtypeStruct(
-            (6 * spp_c, hp, wp), jnp.float32))
-        out_specs.append(pl.BlockSpec((6 * spp_c, TILE_ROWS, LANES),
-                                      lambda i, j: (0, i, j),
-                                      memory_space=pltpu.VMEM))
+
+    if continuation:
+        # packed-lane tiles: 1-D grid over (n_t2 * TILE_ROWS, LANES)
+        lp = state_in.shape[1]
+        n_t2 = lp // TILE_ROWS
+        grid = (n_t2,)
+        in_specs.append(pl.BlockSpec((N_CONT, TILE_ROWS, LANES),
+                                     lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(state_in)
+        lane_shape = jax.ShapeDtypeStruct((lp, LANES), jnp.float32)
+        out_shape = [lane_shape, lane_shape, lane_shape]
+        out_specs = [pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+                     for _ in range(3)]
+        if hdr:
+            out_shape.append(jax.ShapeDtypeStruct(
+                (6 * spp_c, lp, LANES), jnp.float32))
+            out_specs.append(pl.BlockSpec((6 * spp_c, TILE_ROWS, LANES),
+                                          lambda i: (0, i, 0),
+                                          memory_space=pltpu.VMEM))
+    else:
+        hp, wp = n_tr * TILE_ROWS, n_tc * LANES
+        grid = (n_tr, n_tc)
+        tile_shape = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+        out_shape = [tile_shape, tile_shape, tile_shape]
+        out_specs = [pl.BlockSpec((TILE_ROWS, LANES),
+                                  lambda i, j: (i, j),
+                                  memory_space=pltpu.VMEM)
+                     for _ in range(3)]
+        if hdr:
+            out_shape.append(jax.ShapeDtypeStruct(
+                (6 * spp_c, hp, wp), jnp.float32))
+            out_specs.append(pl.BlockSpec((6 * spp_c, TILE_ROWS, LANES),
+                                          lambda i, j: (0, i, j),
+                                          memory_space=pltpu.VMEM))
+        if emit_state:
+            out_shape.append(jax.ShapeDtypeStruct(
+                (N_CONT, hp, wp), jnp.float32))
+            out_specs.append(pl.BlockSpec((N_CONT, TILE_ROWS, LANES),
+                                          lambda i, j: (0, i, j),
+                                          memory_space=pltpu.VMEM))
 
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(n_tr, n_tc),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, w_flat.shape[1]), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster AABBs
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # top boxes
-        ],
+        grid=grid,
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(jnp.stack([jnp.int32(row_offset), jnp.int32(seed),
-                 jnp.int32(s_base),
-                 jnp.int32(row_offset) + jnp.int32(rows)]).reshape(1, 4),
-      cam_tab, sph_tab, w_flat, aabb, boxes)
+    )(*operands)
 
 
 _render_mesh_jit = functools.partial(jax.jit, static_argnames=(

@@ -93,3 +93,41 @@ def test_render_dispatch_routes_mesh_scene():
     img_p = np.asarray(ort.render(scene, cfg, seed=0))
     img_j = np.asarray(ort.render(scene, cfg.replace(backend="jnp"), seed=0))
     assert np.abs(img_p - img_j).mean() < 1e-3
+
+
+def test_two_pass_tail_compaction_matches_single_pass():
+    """Pass-1 iteration cap + compacted continuation must reproduce the
+    single-pass image exactly (same draws, split accumulators)."""
+    import opencl_ray_tracer_tpu.kernels.megamesh as mm
+    scene = _mesh_scene(sky=_hdr_sky())
+    cfg = ort.RenderConfig(width=48, height=32, spp=3, max_depth=16)
+    single = np.asarray(render_pallas_mesh(scene, cfg, seed=1,
+                                           interpret=True))
+    old = (mm.PASS1_ITER_FACTOR, mm.PASS1_ITER_SLACK, mm.COMPACT_FRACTION)
+    mm.PASS1_ITER_FACTOR, mm.PASS1_ITER_SLACK = 1, 2   # force the cap low
+    mm.COMPACT_FRACTION = 1                             # full capacity
+    try:
+        two = np.asarray(render_pallas_mesh(scene, cfg, seed=1,
+                                            interpret=True))
+    finally:
+        (mm.PASS1_ITER_FACTOR, mm.PASS1_ITER_SLACK,
+         mm.COMPACT_FRACTION) = old
+    np.testing.assert_allclose(two, single, atol=1e-6)
+
+
+def test_two_pass_gradient_sky_matches():
+    import opencl_ray_tracer_tpu.kernels.megamesh as mm
+    scene = _mesh_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=12)
+    single = np.asarray(render_pallas_mesh(scene, cfg, seed=2,
+                                           interpret=True))
+    old = (mm.PASS1_ITER_FACTOR, mm.PASS1_ITER_SLACK, mm.COMPACT_FRACTION)
+    mm.PASS1_ITER_FACTOR, mm.PASS1_ITER_SLACK = 1, 2
+    mm.COMPACT_FRACTION = 1
+    try:
+        two = np.asarray(render_pallas_mesh(scene, cfg, seed=2,
+                                            interpret=True))
+    finally:
+        (mm.PASS1_ITER_FACTOR, mm.PASS1_ITER_SLACK,
+         mm.COMPACT_FRACTION) = old
+    np.testing.assert_allclose(two, single, atol=1e-6)
