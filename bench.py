@@ -78,8 +78,41 @@ def main() -> int:
     samples_per_s = width * height * spp / dt
     print(f"# render: {dt:.3f} s  mean {mean:.4f}", file=sys.stderr)
 
-    # ---- forward+backward (BASELINE.json metric) ----
+    # ---- the reference's DEFAULT scene (main.cpp:80-152): F1 car mesh +
+    # 8 spheres + HDR skybox at the reference build config ----
     extra = {}
+    try:
+        obj = "/root/reference/src/assets/models/f1_car.obj"
+        if os.path.exists(obj):
+            from opencl_ray_tracer_tpu.io.hdr import tone_map
+            from opencl_ray_tracer_tpu.io.obj import load_obj
+            from opencl_ray_tracer_tpu.io.procgen import make_sky_image
+            from opencl_ray_tracer_tpu.scene import Sky
+
+            tris, aabb = load_obj(obj, scale=(0.15, 0.15, 0.15),
+                                  translate=(0.0, -0.5, -1.0))
+            sky = Sky.hdr(tone_map(make_sky_image(1024, 512)))
+            f1 = ort.reference_scene(mesh_tris=tris, mesh_aabb=aabb,
+                                     sky=sky)
+            f1_cfg = ort.RenderConfig()   # 1280x720x5spp/d32 defaults
+            img1 = ort.render(f1, f1_cfg, seed=21)
+            jax.block_until_ready(img1)
+            t0 = time.perf_counter()
+            img1 = ort.render(f1, f1_cfg, seed=22)
+            jax.block_until_ready(img1)
+            dt1 = time.perf_counter() - t0
+            import jax.numpy as _jnp
+            assert not bool(_jnp.isnan(img1).any())
+            extra["reference_scene_seconds"] = round(dt1, 3)
+            extra["reference_scene_samples_per_s"] = round(
+                f1_cfg.width * f1_cfg.height * f1_cfg.spp / dt1, 1)
+            print(f"# reference default scene (F1+HDR, 5spp/d32): "
+                  f"{dt1:.3f} s", file=sys.stderr)
+    except Exception as e:
+        print(f"# reference-scene measurement failed: {e}",
+              file=sys.stderr)
+
+    # ---- forward+backward (BASELINE.json metric) ----
     try:
         import jax.numpy as jnp
         from opencl_ray_tracer_tpu.tracer.render import render_grad_sampled
