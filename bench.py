@@ -138,12 +138,12 @@ def main() -> int:
         fb = width * height * spp / dt_grad
         print(f"# fwd+bwd: {dt_grad:.3f} s  grad max {gmax:.2e}",
               file=sys.stderr)
-        extra = {
+        extra.update({
             "fwd_bwd_samples_per_s": round(fb, 1),
             "fwd_bwd_seconds": round(dt_grad, 3),
             "fwd_bwd_vs_gpu_fwd_baseline": round(
                 fb / BASELINE_SAMPLES_PER_S, 4),
-        }
+        })
     except Exception as e:  # keep the headline metric robust
         print(f"# fwd+bwd measurement failed: {e}", file=sys.stderr)
 

@@ -119,6 +119,97 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
+def scatter_block(shape, dx, dy, dz, inv_len, nx, ny, nz, front,
+                  alr, alg, alb, mtype, get_fuzz, get_ior, get_inv_ior,
+                  a0, a1, a2, a3, b0, b1,
+                  has_metal, has_diel, has_fuzz):
+    """Branchless material scatter shared by the sphere and mesh
+    megakernels (LambertianScatter/MetalScatter/TransparentScatter,
+    gpu_kernel.cl:398-451, statically specialized by material presence).
+
+    get_fuzz/get_ior/get_inv_ior are thunks so per-lane material tables
+    are only folded when the material class exists in the scene.
+    Returns (new_dx, new_dy, new_dz, at_r, at_g, at_b, absorbed).
+    """
+    zu = 2.0 * a0 - 1.0
+    phi = TWO_PI * a1
+    ru = jnp.sqrt(jnp.maximum(0.0, 1.0 - zu * zu))
+    lam_x = nx + ru * jnp.cos(phi)
+    lam_y = ny + ru * jnp.sin(phi)
+    lam_z = nz + zu
+    near0 = ((jnp.abs(lam_x) < 1e-8) & (jnp.abs(lam_y) < 1e-8)
+             & (jnp.abs(lam_z) < 1e-8))
+    lam_x = jnp.where(near0, nx, lam_x)
+    lam_y = jnp.where(near0, ny, lam_y)
+    lam_z = jnp.where(near0, nz, lam_z)
+    new_dx, new_dy, new_dz = lam_x, lam_y, lam_z
+    at_r, at_g, at_b = alr, alg, alb
+    absorbed = jnp.zeros(shape, bool)
+
+    if has_metal or has_diel:
+        udx = dx * inv_len
+        udy = dy * inv_len
+        udz = dz * inv_len
+        ud_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
+        refx = udx - 2.0 * ud_dot_n * nx
+        refy = udy - 2.0 * ud_dot_n * ny
+        refz = udz - 2.0 * ud_dot_n * nz
+
+    if has_metal:
+        if has_fuzz:
+            fz = get_fuzz()
+            zs = 2.0 * a2 - 1.0
+            phs = TWO_PI * a3
+            rs = jnp.sqrt(jnp.maximum(0.0, 1.0 - zs * zs))
+            # cbrt is unimplemented in Mosaic; exp(log(x)/3) matches to
+            # ~1 ulp on (0, 1].
+            rad3 = jnp.exp(jnp.log(jnp.maximum(b0, 1e-30))
+                           * jnp.float32(1.0 / 3.0))
+            met_x = refx + fz * (rs * jnp.cos(phs) * rad3)
+            met_y = refy + fz * (rs * jnp.sin(phs) * rad3)
+            met_z = refz + fz * (zs * rad3)
+        else:
+            met_x, met_y, met_z = refx, refy, refz
+        met_absorb = _dot3(met_x, met_y, met_z, nx, ny, nz) <= 0.0
+        is_metal = mtype == float(mat.METAL)
+        new_dx = jnp.where(is_metal, met_x, new_dx)
+        new_dy = jnp.where(is_metal, met_y, new_dy)
+        new_dz = jnp.where(is_metal, met_z, new_dz)
+        absorbed = is_metal & met_absorb
+
+    if has_diel:
+        inv_ior = get_inv_ior()
+        ior = get_ior()
+        ratio = jnp.where(front, inv_ior, ior)
+        cos_t = jnp.minimum(-_dot3(udx, udy, udz, nx, ny, nz), 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-20))
+        cannot = ratio * sin_t > 1.0
+        rr0 = (1.0 - ratio) / (1.0 + ratio)
+        rr0 = rr0 * rr0
+        om = 1.0 - cos_t
+        om2 = om * om
+        refl = rr0 + (1.0 - rr0) * om2 * om2 * om
+        choose_refl = cannot | (refl > b1)
+        rpx = ratio * (udx + cos_t * nx)
+        rpy = ratio * (udy + cos_t * ny)
+        rpz = ratio * (udz + cos_t * nz)
+        rp2 = _dot3(rpx, rpy, rpz, rpx, rpy, rpz)
+        par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - rp2), 1e-20))
+        die_x = jnp.where(choose_refl, refx, rpx + par * nx)
+        die_y = jnp.where(choose_refl, refy, rpy + par * ny)
+        die_z = jnp.where(choose_refl, refz, rpz + par * nz)
+        is_diel = mtype == float(mat.DIELECTRIC)
+        new_dx = jnp.where(is_diel, die_x, new_dx)
+        new_dy = jnp.where(is_diel, die_y, new_dy)
+        new_dz = jnp.where(is_diel, die_z, new_dz)
+        at_r = jnp.where(is_diel, 1.0, at_r)
+        at_g = jnp.where(is_diel, 1.0, at_g)
+        at_b = jnp.where(is_diel, 1.0, at_b)
+        absorbed = absorbed & ~is_diel
+
+    return new_dx, new_dy, new_dz, at_r, at_g, at_b, absorbed
+
+
 def _make_kernel(n_spheres: int, width: int, height: int,
                  spp: int, max_depth: int, t_min: float,
                  sky_kind: int, clamp_samples: bool, nan_policy: str,
@@ -338,82 +429,18 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                 b0, b1, _, _ = _uniform4(seed_arr, pix_u, s_u,
                                          slot + _U32(1))
 
-            # ---- scatter (branchless; scatter.py semantics) ----
-            zu = 2.0 * a0 - 1.0
-            phi = TWO_PI * a1
-            ru = jnp.sqrt(jnp.maximum(0.0, 1.0 - zu * zu))
-            lam_x = nx + ru * jnp.cos(phi)
-            lam_y = ny + ru * jnp.sin(phi)
-            lam_z = nz + zu
-            near0 = ((jnp.abs(lam_x) < 1e-8) & (jnp.abs(lam_y) < 1e-8)
-                     & (jnp.abs(lam_z) < 1e-8))
-            lam_x = jnp.where(near0, nx, lam_x)
-            lam_y = jnp.where(near0, ny, lam_y)
-            lam_z = jnp.where(near0, nz, lam_z)
-            new_dx, new_dy, new_dz = lam_x, lam_y, lam_z
-            at_r, at_g, at_b = alr, alg, alb
-            absorbed = jnp.zeros(shape, bool)
-
-            if has_metal or has_diel:
-                udx = dx * inv_len
-                udy = dy * inv_len
-                udz = dz * inv_len
-                ud_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
-                refx = udx - 2.0 * ud_dot_n * nx
-                refy = udy - 2.0 * ud_dot_n * ny
-                refz = udz - 2.0 * ud_dot_n * nz
-
-            if has_metal:
-                if has_fuzz:
-                    fz = gather(F_FUZZ)
-                    zs = 2.0 * a2 - 1.0
-                    phs = TWO_PI * a3
-                    rs = jnp.sqrt(jnp.maximum(0.0, 1.0 - zs * zs))
-                    # cbrt is unimplemented in Mosaic; exp(log(x)/3)
-                    # matches to ~1 ulp on (0, 1].
-                    rad3 = jnp.exp(jnp.log(jnp.maximum(b0, 1e-30))
-                                   * jnp.float32(1.0 / 3.0))
-                    met_x = refx + fz * (rs * jnp.cos(phs) * rad3)
-                    met_y = refy + fz * (rs * jnp.sin(phs) * rad3)
-                    met_z = refz + fz * (zs * rad3)
-                else:
-                    met_x, met_y, met_z = refx, refy, refz
-                met_absorb = _dot3(met_x, met_y, met_z, nx, ny, nz) <= 0.0
-                is_metal = mtype == float(mat.METAL)
-                new_dx = jnp.where(is_metal, met_x, new_dx)
-                new_dy = jnp.where(is_metal, met_y, new_dy)
-                new_dz = jnp.where(is_metal, met_z, new_dz)
-                absorbed = is_metal & met_absorb
-
-            if has_diel:
-                inv_ior = gather(F_INVIOR, 1.0)
-                ior = gather(F_IOR)
-                ratio = jnp.where(front, inv_ior, ior)
-                cos_t = jnp.minimum(-_dot3(udx, udy, udz, nx, ny, nz), 1.0)
-                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-20))
-                cannot = ratio * sin_t > 1.0
-                rr0 = (1.0 - ratio) / (1.0 + ratio)
-                rr0 = rr0 * rr0
-                om = 1.0 - cos_t
-                om2 = om * om
-                refl = rr0 + (1.0 - rr0) * om2 * om2 * om
-                choose_refl = cannot | (refl > b1)
-                rpx = ratio * (udx + cos_t * nx)
-                rpy = ratio * (udy + cos_t * ny)
-                rpz = ratio * (udz + cos_t * nz)
-                rp2 = _dot3(rpx, rpy, rpz, rpx, rpy, rpz)
-                par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - rp2), 1e-20))
-                die_x = jnp.where(choose_refl, refx, rpx + par * nx)
-                die_y = jnp.where(choose_refl, refy, rpy + par * ny)
-                die_z = jnp.where(choose_refl, refz, rpz + par * nz)
-                is_diel = mtype == float(mat.DIELECTRIC)
-                new_dx = jnp.where(is_diel, die_x, new_dx)
-                new_dy = jnp.where(is_diel, die_y, new_dy)
-                new_dz = jnp.where(is_diel, die_z, new_dz)
-                at_r = jnp.where(is_diel, 1.0, at_r)
-                at_g = jnp.where(is_diel, 1.0, at_g)
-                at_b = jnp.where(is_diel, 1.0, at_b)
-                absorbed = absorbed & ~is_diel
+            # ---- scatter (branchless; shared scatter_block) ----
+            if not (has_fuzz or has_diel):
+                b0 = b1 = None
+            (new_dx, new_dy, new_dz, at_r, at_g, at_b,
+             absorbed) = scatter_block(
+                shape, dx, dy, dz, inv_len, nx, ny, nz, front,
+                alr, alg, alb, mtype,
+                lambda: gather(F_FUZZ),
+                lambda: gather(F_IOR),
+                lambda: gather(F_INVIOR, 1.0),
+                a0, a1, a2, a3, b0, b1,
+                has_metal, has_diel, has_fuzz)
 
             # ---- termination events ----
             miss_now = active & ~hit

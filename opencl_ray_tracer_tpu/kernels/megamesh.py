@@ -57,7 +57,7 @@ from ..scene import materials as mat
 from ..scene.sky import KIND_CONST, KIND_GRADIENT, KIND_HDR
 from ..tracer import mesh_accel as ma
 from .megakernel import (BIG, LANES, N_FIELDS, TWO_PI, _U32, _camera_table,
-                         _dot3, _sphere_table, _uniform4,
+                         _dot3, _sphere_table, _uniform4, scatter_block,
                          F_CX, F_CY, F_CZ, F_ALR, F_ALG, F_ALB, F_FUZZ,
                          F_IOR, F_TYPE, F_R2, F_INVR, F_INVIOR,
                          C_OX, C_OY, C_OZ, C_HX, C_HY, C_HZ, C_VX, C_VY,
@@ -520,85 +520,26 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                 b0, b1, _, _ = _uniform4(seed_arr, pix_u, s_u,
                                          slot + _U32(1))
 
-            # ---- scatter (branchless; matches kernels/megakernel.py) ----
-            zu = 2.0 * a0 - 1.0
-            phi = TWO_PI * a1
-            ru = jnp.sqrt(jnp.maximum(0.0, 1.0 - zu * zu))
-            lam_x = nx + ru * jnp.cos(phi)
-            lam_y = ny + ru * jnp.sin(phi)
-            lam_z = nz + zu
-            near0 = ((jnp.abs(lam_x) < 1e-8) & (jnp.abs(lam_y) < 1e-8)
-                     & (jnp.abs(lam_z) < 1e-8))
-            lam_x = jnp.where(near0, nx, lam_x)
-            lam_y = jnp.where(near0, ny, lam_y)
-            lam_z = jnp.where(near0, nz, lam_z)
-            new_dx, new_dy, new_dz = lam_x, lam_y, lam_z
-            at_r, at_g, at_b = alr, alg, alb
-            absorbed = jnp.zeros(shape, bool)
+            # ---- scatter (shared scatter_block; mesh lanes take the
+            # uniform mesh material from the camera-table scalars) ----
+            if not (has_fuzz or has_diel):
+                b0 = b1 = None
 
-            if has_metal or has_diel:
-                udx = dx * inv_len
-                udy = dy * inv_len
-                udz = dz * inv_len
-                ud_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
-                refx = udx - 2.0 * ud_dot_n * nx
-                refy = udy - 2.0 * ud_dot_n * ny
-                refz = udz - 2.0 * ud_dot_n * nz
-
-            if has_metal:
-                if has_fuzz:
-                    fz = gather(F_FUZZ)
-                    if n_chunks > 0:
-                        fz = jnp.where(tri_win, cam(C_M_FUZZ), fz)
-                    zs = 2.0 * a2 - 1.0
-                    phs = TWO_PI * a3
-                    rs = jnp.sqrt(jnp.maximum(0.0, 1.0 - zs * zs))
-                    rad3 = jnp.exp(jnp.log(jnp.maximum(b0, 1e-30))
-                                   * jnp.float32(1.0 / 3.0))
-                    met_x = refx + fz * (rs * jnp.cos(phs) * rad3)
-                    met_y = refy + fz * (rs * jnp.sin(phs) * rad3)
-                    met_z = refz + fz * (zs * rad3)
-                else:
-                    met_x, met_y, met_z = refx, refy, refz
-                met_absorb = _dot3(met_x, met_y, met_z, nx, ny, nz) <= 0.0
-                is_metal = mtype == float(mat.METAL)
-                new_dx = jnp.where(is_metal, met_x, new_dx)
-                new_dy = jnp.where(is_metal, met_y, new_dy)
-                new_dz = jnp.where(is_metal, met_z, new_dz)
-                absorbed = is_metal & met_absorb
-
-            if has_diel:
-                inv_ior = gather(F_INVIOR, 1.0)
-                ior = gather(F_IOR)
+            def _merge(field_getter, cam_slot):
+                v = field_getter()
                 if n_chunks > 0:
-                    inv_ior = jnp.where(tri_win, cam(C_M_INVIOR), inv_ior)
-                    ior = jnp.where(tri_win, cam(C_M_IOR), ior)
-                ratio = jnp.where(front, inv_ior, ior)
-                cos_t = jnp.minimum(-_dot3(udx, udy, udz, nx, ny, nz), 1.0)
-                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-20))
-                cannot = ratio * sin_t > 1.0
-                rr0 = (1.0 - ratio) / (1.0 + ratio)
-                rr0 = rr0 * rr0
-                om = 1.0 - cos_t
-                om2 = om * om
-                refl = rr0 + (1.0 - rr0) * om2 * om2 * om
-                choose_refl = cannot | (refl > b1)
-                rpx = ratio * (udx + cos_t * nx)
-                rpy = ratio * (udy + cos_t * ny)
-                rpz = ratio * (udz + cos_t * nz)
-                rp2 = _dot3(rpx, rpy, rpz, rpx, rpy, rpz)
-                par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - rp2), 1e-20))
-                die_x = jnp.where(choose_refl, refx, rpx + par * nx)
-                die_y = jnp.where(choose_refl, refy, rpy + par * ny)
-                die_z = jnp.where(choose_refl, refz, rpz + par * nz)
-                is_diel = mtype == float(mat.DIELECTRIC)
-                new_dx = jnp.where(is_diel, die_x, new_dx)
-                new_dy = jnp.where(is_diel, die_y, new_dy)
-                new_dz = jnp.where(is_diel, die_z, new_dz)
-                at_r = jnp.where(is_diel, 1.0, at_r)
-                at_g = jnp.where(is_diel, 1.0, at_g)
-                at_b = jnp.where(is_diel, 1.0, at_b)
-                absorbed = absorbed & ~is_diel
+                    v = jnp.where(tri_win, cam(cam_slot), v)
+                return v
+
+            (new_dx, new_dy, new_dz, at_r, at_g, at_b,
+             absorbed) = scatter_block(
+                shape, dx, dy, dz, inv_len, nx, ny, nz, front,
+                alr, alg, alb, mtype,
+                lambda: _merge(lambda: gather(F_FUZZ), C_M_FUZZ),
+                lambda: _merge(lambda: gather(F_IOR), C_M_IOR),
+                lambda: _merge(lambda: gather(F_INVIOR, 1.0), C_M_INVIOR),
+                a0, a1, a2, a3, b0, b1,
+                has_metal, has_diel, has_fuzz)
 
             # ---- termination events ----
             miss_now = active & ~hit
