@@ -1,0 +1,590 @@
+"""Pallas TPU backward megakernel: scene gradients at kernel speed.
+
+The forward megakernel (kernels/megakernel.py) renders the README benchmark
+scene ~40x faster than the jnp wavefront estimator; until this module, the
+*backward* pass (scene-parameter gradients, the BASELINE.json fwd+bwd
+metric) still ran through the jnp differentiable wavefront scan
+(tracer/wavefront.py), whose XLA-compiled loop body is latency/overhead
+bound at ~90M ray-bounces/s (measured; see benchmarks/profile_fwdbwd.py).
+
+This kernel computes the VJP of the path-tracing estimator w.r.t. the
+differentiable scene tables directly on-chip:
+
+- **Per-sample path replay with VMEM records.**  For each (pixel, sample)
+  the bounce chain is replayed (same counter RNG, same fold math as the
+  forward megakernel) storing per-bounce (origin, direction, throughput) in
+  a VMEM ring — ~4 MB for a (16, 128)-pixel tile at depth 50.  No HBM
+  residuals: the whole reverse pass runs out of VMEM.
+- **Reverse sweep with trace-time autodiff.**  The adjoint walks bounces
+  backward; each step calls ``jax.vjp`` *at trace time* on the pure
+  single-bounce function (sphere fold + shared ``scatter_block`` +
+  terminal contribution with the clamp/NaN estimator quirks), so Mosaic
+  compiles exact hand-free adjoint code.  The interior-derivative
+  convention (gradients flow through the argmin-selected branch only)
+  falls out of the ``jnp.where`` folds, matching the jnp tracer's VJP.
+- **Scalar primals, no scatters.**  Mosaic cannot lower scatter-add — the
+  transpose of an integer table read — so every camera/sphere table entry
+  is read ONCE into a scalar outside the differentiated function and
+  passed as a primal; cotangents come back as scalars (the transpose of a
+  broadcast is a dense reduce) and are placed into the gradient
+  accumulator rows with static iota-select folds.
+- **Adjoint seeding is implicit.**  The bounce function returns
+  ``c = where(term, contribution, 0)``: terminal lanes receive the pixel
+  cotangent through the ``where`` transpose, mid-path lanes pass state
+  adjoints through the continuation branch, finished/idle lanes carry
+  zeros.  No explicit seeding masks.
+- **Table cotangents, chain rule outside.**  The kernel accumulates
+  gradients for the (1,128) camera table and (16,128) sphere table (the
+  same differentiable builders the forward kernel uses); a one-line
+  ``jax.vjp`` of the table builders maps them to the Scene pytree
+  (centers, radii, albedos, fuzz, ior, camera fields, const-sky colour).
+
+Semantics: the estimator with ``nan_policy="zero"`` (the order-invariant
+policy render_grad_sampled already uses for gradient chunks) and
+clamp-before-average exactly as the forward kernels.  Scope =
+megakernel.supports() up to GRAD_MAX_SPHERES spheres, gradient/constant
+sky.
+
+Reference parity: this is the backward of ``pixel_colour``
+(gpu_kernel.cl:595-648) — a capability the reference does not have.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..scene import Scene
+from ..scene import materials as mat
+from ..scene.sky import KIND_CONST, KIND_GRADIENT
+from .megakernel import (BIG, LANES, N_FIELDS, TWO_PI, _U32, _camera_table,
+                         _dot3, _sphere_table, _uniform4, scatter_block,
+                         specialize_flags, supports,
+                         F_CX, F_CY, F_CZ, F_ALR, F_ALG, F_ALB, F_FUZZ,
+                         F_IOR, F_TYPE, F_R2, F_INVR, F_INVIOR,
+                         C_OX, C_OY, C_OZ, C_HX, C_HY, C_HZ, C_VX, C_VY,
+                         C_VZ, C_LX, C_LY, C_LZ, C_DUX, C_DUY, C_DUZ,
+                         C_DVX, C_DVY, C_DVZ, C_SKY0, C_SKY1, C_SKY2)
+
+# Smaller tiles than the forward kernel: the replay record buffer is
+# N_REC x max_depth x tile and must fit VMEM (~16 MB/core).
+TILE_ROWS = 16
+TILE = TILE_ROWS * LANES
+N_REC = 9          # ox,oy,oz,dx,dy,dz,tr,tg,tb per bounce
+
+# Per-sphere scalar cotangents are carried as individual values; bound the
+# sphere count so the reduce/select overhead stays small.  Larger scenes
+# fall back to the jnp VJP (tracer/render.render_grad_sampled).
+GRAD_MAX_SPHERES = 32
+
+# Differentiable sphere-table rows (order = accumulator row order).
+DIFF_FIELDS = (F_CX, F_CY, F_CZ, F_R2, F_INVR, F_ALR, F_ALG, F_ALB,
+               F_FUZZ, F_IOR, F_INVIOR)
+# Differentiable camera-table slots.
+CAM_SLOTS = (C_OX, C_OY, C_OZ, C_HX, C_HY, C_HZ, C_VX, C_VY, C_VZ,
+             C_LX, C_LY, C_LZ, C_DUX, C_DUY, C_DUZ, C_DVX, C_DVY, C_DVZ,
+             C_SKY0, C_SKY1, C_SKY2)
+
+# Adjoint/state scratch rows.
+(A_OX, A_OY, A_OZ, A_DX, A_DY, A_DZ, A_TR, A_TG, A_TB,   # adjoints
+ S_OX, S_OY, S_OZ, S_DX, S_DY, S_DZ, S_TR, S_TG, S_TB,    # replay state
+ S_LEN, S_DONE) = range(20)
+N_ST = 20
+
+
+def _make_grad_kernel(n_spheres: int, width: int, height: int,
+                      spp: int, max_depth: int, t_min: float,
+                      sky_kind: int, clamp_samples: bool,
+                      has_metal: bool, has_diel: bool, has_emit: bool,
+                      has_fuzz: bool, has_aperture: bool):
+    """Backward kernel body; all config static.  NaN policy is always
+    "zero" (order-invariant; see module docstring)."""
+    fi = {f: p for p, f in enumerate(DIFF_FIELDS)}
+    ci = {c: p for p, c in enumerate(CAM_SLOTS)}
+
+    def bounce_fn(cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz, tr, tg, tb,
+                  active, term_allowed, a0, a1, a2, a3, b0, b1):
+        """One differentiable bounce: (state) -> (state', contribution).
+
+        cam_s: tuple of camera-table scalars (CAM_SLOTS order); sph_s:
+        tuple (per DIFF_FIELDS) of per-sphere scalar tuples — the
+        differentiation targets.  mtypes: non-diff per-sphere material
+        floats.  Mirrors kernels/megakernel.py's body
+        (gpu_kernel.cl:266-348 semantics) minus regeneration.
+        """
+        shape = ox.shape
+
+        def cam(slot):
+            return cam_s[ci[slot]]
+
+        def sv(field, i):
+            return sph_s[fi[field]][i]
+
+        a = _dot3(dx, dy, dz, dx, dy, dz)
+        inv_a = 1.0 / a
+        inv_len = jax.lax.rsqrt(a)
+        zero = jnp.zeros(shape, jnp.float32)
+
+        best_t = jnp.full(shape, BIG)
+        best_i = jnp.zeros(shape, jnp.int32)
+        for i in range(n_spheres):
+            ocx = ox - sv(F_CX, i)
+            ocy = oy - sv(F_CY, i)
+            ocz = oz - sv(F_CZ, i)
+            half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
+            c_t = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz) - sv(F_R2, i))
+            disc = half_b * half_b - a * c_t
+            sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
+            r0 = (-half_b - sq) * inv_a
+            r1 = (-half_b + sq) * inv_a
+            ok0 = (disc >= 0.0) & (r0 >= t_min)
+            ok1 = (disc >= 0.0) & (r1 >= t_min)
+            t_i = jnp.where(ok0, r0, jnp.where(ok1, r1, BIG))
+            upd = t_i < best_t
+            best_t = jnp.where(upd, t_i, best_t)
+            best_i = jnp.where(upd, i, best_i)
+
+        def gather(field, init=0.0):
+            v = jnp.full(shape, init, jnp.float32)
+            for i in range(n_spheres):
+                v = jnp.where(best_i == i, sv(field, i), v)
+            return v
+
+        hit = best_t < BIG
+        t_safe = jnp.where(hit, best_t, 1.0)
+        hx = ox + t_safe * dx
+        hy = oy + t_safe * dy
+        hz = oz + t_safe * dz
+
+        scx = gather(F_CX)
+        scy = gather(F_CY)
+        scz = gather(F_CZ)
+        inv_r = gather(F_INVR, 1.0)
+        alr = gather(F_ALR)
+        alg = gather(F_ALG)
+        alb = gather(F_ALB)
+        mtype = jnp.full(shape, -1.0, jnp.float32)
+        for i in range(n_spheres):
+            mtype = jnp.where(best_i == i, mtypes[i], mtype)
+
+        nx = (hx - scx) * inv_r
+        ny = (hy - scy) * inv_r
+        nz = (hz - scz) * inv_r
+        front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
+        sgn = jnp.where(front, 1.0, -1.0)
+        nx = nx * sgn
+        ny = ny * sgn
+        nz = nz * sgn
+
+        (new_dx, new_dy, new_dz, at_r, at_g, at_b,
+         absorbed) = scatter_block(
+            shape, dx, dy, dz, inv_len, nx, ny, nz, front,
+            alr, alg, alb, mtype,
+            lambda: gather(F_FUZZ),
+            lambda: gather(F_IOR),
+            lambda: gather(F_INVIOR, 1.0),
+            a0, a1, a2, a3, b0, b1,
+            has_metal, has_diel, has_fuzz)
+
+        miss_now = active & ~hit
+        if has_emit:
+            is_emit = mtype == float(mat.EMISSIVE)
+            emit_now = active & hit & is_emit
+        else:
+            is_emit = jnp.zeros(shape, bool)
+            emit_now = jnp.zeros(shape, bool)
+        would_cont = active & hit & ~is_emit & ~absorbed
+        exhaust_now = would_cont & ~term_allowed
+        cont = would_cont & ~exhaust_now
+
+        if sky_kind == KIND_GRADIENT:
+            tsky = 0.5 * (dy * inv_len + 1.0)
+            sk_r = (1.0 - tsky) + tsky * 0.5
+            sk_g = (1.0 - tsky) + tsky * 0.7
+            sk_b = (1.0 - tsky) + tsky * 1.0
+        else:
+            sk_r = cam(C_SKY0) + zero
+            sk_g = cam(C_SKY1) + zero
+            sk_b = cam(C_SKY2) + zero
+
+        c_r = jnp.where(miss_now, tr * sk_r,
+                        jnp.where(emit_now, tr * alr, zero))
+        c_g = jnp.where(miss_now, tg * sk_g,
+                        jnp.where(emit_now, tg * alg, zero))
+        c_b = jnp.where(miss_now, tb * sk_b,
+                        jnp.where(emit_now, tb * alb, zero))
+        if clamp_samples:
+            c_r = jnp.clip(c_r, 0.0, 1.0)
+            c_g = jnp.clip(c_g, 0.0, 1.0)
+            c_b = jnp.clip(c_b, 0.0, 1.0)
+        c_r = jnp.where(jnp.isnan(c_r), 0.0, c_r)
+        c_g = jnp.where(jnp.isnan(c_g), 0.0, c_g)
+        c_b = jnp.where(jnp.isnan(c_b), 0.0, c_b)
+
+        o2x = jnp.where(cont, hx, ox)
+        o2y = jnp.where(cont, hy, oy)
+        o2z = jnp.where(cont, hz, oz)
+        d2x = jnp.where(cont, new_dx, dx)
+        d2y = jnp.where(cont, new_dy, dy)
+        d2z = jnp.where(cont, new_dz, dz)
+        t2r = jnp.where(cont, tr * at_r, tr)
+        t2g = jnp.where(cont, tg * at_g, tg)
+        t2b = jnp.where(cont, tb * at_b, tb)
+        return (o2x, o2y, o2z, d2x, d2y, d2z, t2r, t2g, t2b,
+                c_r, c_g, c_b, cont)
+
+    def kernel(off_ref, cam_ref, sph_ref, gr_ref, gg_ref, gb_ref,
+               gcam_ref, gsph_ref, st, rec, gacc):
+        tile = pl.program_id(0)
+        shape = (TILE_ROWS, LANES)
+        lin = (off_ref[0, 0] + tile * TILE
+               + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+               + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        pix_u = lin.astype(_U32)
+        px = (lin % width).astype(jnp.float32)
+        py = (lin // width).astype(jnp.float32)
+        sample_base = off_ref[0, 2]
+        seed_arr = jnp.zeros(shape, _U32) + off_ref[0, 1].astype(_U32)
+        zero = jnp.zeros(shape, jnp.float32)
+        g_r = gr_ref[...]
+        g_g = gg_ref[...]
+        g_b = gb_ref[...]
+
+        # table entries as scalars (read once; primals of the vjp)
+        cam_s = tuple(cam_ref[0, c] for c in CAM_SLOTS)
+        sph_s = tuple(tuple(sph_ref[f, i] for i in range(n_spheres))
+                      for f in DIFF_FIELDS)
+        mtypes = tuple(sph_ref[F_TYPE, i] for i in range(n_spheres))
+
+        @pl.when(tile == 0)
+        def _init_out():
+            gcam_ref[...] = jnp.zeros_like(gcam_ref)
+            gsph_ref[...] = jnp.zeros_like(gsph_ref)
+
+        # per-tile accumulator rows: DIFF_FIELDS sphere rows + 1 cam row
+        n_rows_acc = len(DIFF_FIELDS) + 1
+        gacc[0, :n_rows_acc, :] = jnp.zeros((n_rows_acc, LANES),
+                                            jnp.float32)
+
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        def scalars_to_rows(gc_s, gs_s):
+            """Cotangent scalars -> (n_rows_acc, LANES) delta rows via
+            static select folds (no scatters)."""
+            rows = []
+            for fpos in range(len(DIFF_FIELDS)):
+                row = jnp.zeros((1, LANES), jnp.float32)
+                for i in range(n_spheres):
+                    row = jnp.where(lane_i == i, row + gs_s[fpos][i], row)
+                rows.append(row)
+            crow = jnp.zeros((1, LANES), jnp.float32)
+            for p, c in enumerate(CAM_SLOTS):
+                crow = jnp.where(lane_i == c, crow + gc_s[p], crow)
+            rows.append(crow)
+            return jnp.concatenate(rows, axis=0)
+
+        def draws(s_u, depth_f):
+            slot = (jnp.zeros_like(pix_u) + _U32(4)
+                    + depth_f.astype(jnp.int32).astype(_U32) * _U32(2))
+            a0, a1, a2, a3 = _uniform4(seed_arr, pix_u, s_u, slot)
+            if has_fuzz or has_diel:
+                b0, b1, _, _ = _uniform4(seed_arr, pix_u, s_u,
+                                         slot + _U32(1))
+            else:
+                b0 = b1 = None
+            return a0, a1, a2, a3, b0, b1
+
+        def camera_ray_fn(cam_t, u0, u1, u2, u3):
+            """Differentiable GetRay given fixed draws; cam_t in CAM_SLOTS
+            order."""
+            def cm(slot):
+                return cam_t[ci[slot]]
+            uu = (px + u0) * jnp.float32(1.0 / width)
+            vv = (py + u1) * jnp.float32(1.0 / height)
+            if has_aperture:
+                dr = jnp.sqrt(u2)
+                th = TWO_PI * u3
+                lens_x = dr * jnp.cos(th)
+                lens_y = dr * jnp.sin(th)
+                ox = cm(C_OX) + (cm(C_DUX) * lens_x + cm(C_DVX) * lens_y)
+                oy = cm(C_OY) + (cm(C_DUY) * lens_x + cm(C_DVY) * lens_y)
+                oz = cm(C_OZ) + (cm(C_DUZ) * lens_x + cm(C_DVZ) * lens_y)
+            else:
+                ox = cm(C_OX) + zero
+                oy = cm(C_OY) + zero
+                oz = cm(C_OZ) + zero
+            dx = cm(C_LX) + uu * cm(C_HX) + vv * cm(C_VX) - ox
+            dy = cm(C_LY) + uu * cm(C_HY) + vv * cm(C_VY) - oy
+            dz = cm(C_LZ) + uu * cm(C_HZ) + vv * cm(C_VZ) - oz
+            return ox, oy, oz, dx, dy, dz
+
+        def sample_body(s, carry):
+            s_u = (s + sample_base).astype(_U32) + jnp.zeros_like(pix_u)
+            u0, u1, u2, u3 = _uniform4(seed_arr, pix_u,
+                                       s_u, jnp.zeros_like(pix_u))
+            ox0, oy0, oz0, dx0, dy0, dz0 = camera_ray_fn(
+                cam_s, u0, u1, u2, u3)
+
+            # ---- replay: store (o, d, T) per bounce in the VMEM ring ----
+            st[S_OX] = ox0
+            st[S_OY] = oy0
+            st[S_OZ] = oz0
+            st[S_DX] = dx0
+            st[S_DY] = dy0
+            st[S_DZ] = dz0
+            st[S_TR] = zero + 1.0
+            st[S_TG] = zero + 1.0
+            st[S_TB] = zero + 1.0
+            st[S_LEN] = zero
+            st[S_DONE] = zero
+
+            def r_cond(c):
+                k, any_alive = c
+                return (k < max_depth) & any_alive
+
+            def r_body(c):
+                k, _ = c
+                ox = st[S_OX]
+                oy = st[S_OY]
+                oz = st[S_OZ]
+                dx = st[S_DX]
+                dy = st[S_DY]
+                dz = st[S_DZ]
+                tr = st[S_TR]
+                tg = st[S_TG]
+                tb = st[S_TB]
+                alive = st[S_DONE] == 0.0
+                rows = pl.ds(k * TILE_ROWS, TILE_ROWS)
+                rec[0, rows, :] = ox
+                rec[1, rows, :] = oy
+                rec[2, rows, :] = oz
+                rec[3, rows, :] = dx
+                rec[4, rows, :] = dy
+                rec[5, rows, :] = dz
+                rec[6, rows, :] = tr
+                rec[7, rows, :] = tg
+                rec[8, rows, :] = tb
+                depth_f = k.astype(jnp.float32) + zero
+                a0, a1, a2, a3, b0, b1 = draws(s_u, depth_f)
+                term_allowed = ((k + 1 < max_depth) | (zero > 1.0))
+                (o2x, o2y, o2z, d2x, d2y, d2z, t2r, t2g, t2b,
+                 _, _, _, cont) = bounce_fn(
+                    cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz,
+                    tr, tg, tb, alive, term_allowed,
+                    a0, a1, a2, a3, b0, b1)
+                term = alive & ~cont
+                st[S_OX] = o2x
+                st[S_OY] = o2y
+                st[S_OZ] = o2z
+                st[S_DX] = d2x
+                st[S_DY] = d2y
+                st[S_DZ] = d2z
+                st[S_TR] = t2r
+                st[S_TG] = t2g
+                st[S_TB] = t2b
+                st[S_LEN] = jnp.where(term, jnp.float32(k + 1), st[S_LEN])
+                st[S_DONE] = jnp.where(term, 1.0, st[S_DONE])
+                return (k + 1, jnp.any(cont))
+
+            jax.lax.while_loop(r_cond, r_body, (jnp.int32(0), True))
+            k_len = st[S_LEN]
+
+            # ---- reverse sweep: adjoints from the terminal bounce back
+            # to the camera ray ----
+            st[A_OX] = zero
+            st[A_OY] = zero
+            st[A_OZ] = zero
+            st[A_DX] = zero
+            st[A_DY] = zero
+            st[A_DZ] = zero
+            st[A_TR] = zero
+            st[A_TG] = zero
+            st[A_TB] = zero
+            kh = jnp.max(k_len).astype(jnp.int32)
+
+            def b_body(kc):
+                k = kc - 1
+                rows = pl.ds(k * TILE_ROWS, TILE_ROWS)
+                ox = rec[0, rows, :]
+                oy = rec[1, rows, :]
+                oz = rec[2, rows, :]
+                dx = rec[3, rows, :]
+                dy = rec[4, rows, :]
+                dz = rec[5, rows, :]
+                tr = rec[6, rows, :]
+                tg = rec[7, rows, :]
+                tb = rec[8, rows, :]
+                kf = k.astype(jnp.float32)
+                alive = kf < k_len          # lane was mid-path at bounce k
+                a0, a1, a2, a3, b0, b1 = draws(s_u, kf + zero)
+                term_allowed = ((k + 1 < max_depth) | (zero > 1.0))
+
+                def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz, tr, tg, tb):
+                    out = bounce_fn(cam_t, sph_t, mtypes, ox, oy, oz,
+                                    dx, dy, dz, tr, tg, tb, alive,
+                                    term_allowed, a0, a1, a2, a3, b0, b1)
+                    return out[:12]          # drop the bool cont
+
+                _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
+                                    dx, dy, dz, tr, tg, tb)
+                cots = (st[A_OX], st[A_OY], st[A_OZ],
+                        st[A_DX], st[A_DY], st[A_DZ],
+                        st[A_TR], st[A_TG], st[A_TB],
+                        g_r, g_g, g_b)
+                (gc_s, gs_s, aox, aoy, aoz, adx, ady, adz,
+                 atr, atg, atb) = vjp_fn(cots)
+                st[A_OX] = aox
+                st[A_OY] = aoy
+                st[A_OZ] = aoz
+                st[A_DX] = adx
+                st[A_DY] = ady
+                st[A_DZ] = adz
+                st[A_TR] = atr
+                st[A_TG] = atg
+                st[A_TB] = atb
+                gacc[0, :n_rows_acc, :] = (gacc[0, :n_rows_acc, :]
+                                           + scalars_to_rows(gc_s, gs_s))
+                return k
+
+            jax.lax.while_loop(lambda k: k > 0, b_body, kh)
+
+            # chain the primary-ray adjoints into the camera table
+            def cray(cam_t):
+                return camera_ray_fn(cam_t, u0, u1, u2, u3)
+
+            _, cvjp = jax.vjp(cray, cam_s)
+            (gc0,) = cvjp((st[A_OX], st[A_OY], st[A_OZ],
+                           st[A_DX], st[A_DY], st[A_DZ]))
+            crow = jnp.zeros((1, LANES), jnp.float32)
+            for p, c in enumerate(CAM_SLOTS):
+                crow = jnp.where(lane_i == c, crow + gc0[p], crow)
+            gacc[0, n_rows_acc - 1:n_rows_acc, :] = (
+                gacc[0, n_rows_acc - 1:n_rows_acc, :] + crow)
+            return carry
+
+        jax.lax.fori_loop(0, spp, sample_body, 0)
+
+        # flush: accumulator rows -> table-shaped outputs (concatenate,
+        # not .at[].set — scatters don't lower in Mosaic)
+        acc = gacc[0, :n_rows_acc, :]
+        fpos = {f: p for p, f in enumerate(DIFF_FIELDS)}
+        gs_out = jnp.concatenate(
+            [acc[fpos[f]:fpos[f] + 1, :] if f in fpos
+             else jnp.zeros((1, LANES), jnp.float32)
+             for f in range(N_FIELDS)], axis=0)
+        gsph_ref[...] = gsph_ref[...] + gs_out
+        gcam_ref[...] = (gcam_ref[...]
+                         + acc[n_rows_acc - 1:n_rows_acc, :])
+
+    return kernel
+
+
+def supports_grad(scene: Scene, cfg: RenderConfig) -> bool:
+    """Scenes the Pallas backward kernel covers (= forward megakernel
+    scope up to GRAD_MAX_SPHERES).  The kernel always uses the
+    order-invariant "zero" NaN policy for sample contributions, like
+    render_grad_sampled's jnp chunks."""
+    return supports(scene, cfg) and scene.spheres.count <= GRAD_MAX_SPHERES
+
+
+def render_grad_tables(scene: Scene, cfg: RenderConfig, g_img, seed,
+                       sample_base=0, n_samples=None,
+                       interpret: bool = False):
+    """Cotangents of the (camera, sphere) tables for image cotangent
+    g_img (H, W, 3) — already including any 1/spp factor the caller's
+    loss uses.  Returns (gcam (1, LANES), gsph (N_FIELDS, LANES))."""
+    flags = specialize_flags(scene)
+    n_samples = cfg.spp if n_samples is None else n_samples
+    return _grad_tables_jit(scene, cfg, g_img, jnp.int32(seed),
+                            jnp.int32(sample_base), n_samples, flags,
+                            interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "flags",
+                                             "interpret"))
+def _grad_tables_jit(scene, cfg, g_img, seed, sample_base, n_samples,
+                     flags, interpret):
+    cam_tab = _camera_table(scene)
+    sph_tab = _sphere_table(scene)
+    return _grad_tables_inner(cam_tab, sph_tab, scene.spheres.count,
+                              scene.sky.kind, cfg, g_img, seed,
+                              sample_base, n_samples, flags, interpret)
+
+
+def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
+                       seed, sample_base, n_samples, flags, interpret):
+    has_metal, has_diel, has_emit, has_fuzz, has_aperture, _ = flags
+    h, w = g_img.shape[0], g_img.shape[1]
+    n_pix = h * w
+    n_tiles = -(-n_pix // TILE)
+    pad = n_tiles * TILE - n_pix
+    g = g_img.reshape(n_pix, 3)
+    if pad:
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    g = g.T.reshape(3, n_tiles * TILE_ROWS, LANES)
+
+    kernel = _make_grad_kernel(
+        n_spheres=n_spheres, width=w, height=h,
+        spp=n_samples, max_depth=cfg.max_depth, t_min=cfg.t_min,
+        sky_kind=sky_kind, clamp_samples=cfg.clamp_samples,
+        has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
+        has_fuzz=has_fuzz, has_aperture=has_aperture)
+
+    gcam, gsph = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32)],
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM) for _ in range(3)],
+        out_specs=[
+            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N_ST, TILE_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((N_REC, cfg.max_depth * TILE_ROWS, LANES),
+                       jnp.float32),
+            pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.stack([jnp.int32(0), jnp.int32(seed),
+                 jnp.int32(sample_base)]).reshape(1, 3),
+      cam_tab, sph_tab, g[0], g[1], g[2])
+    return gcam, gsph
+
+
+def render_grad_scene(scene: Scene, cfg: RenderConfig, g_img, seed,
+                      interpret: bool = False):
+    """Scene-pytree cotangent for image cotangent g_img (H, W, 3).
+
+    Equivalent to (but far faster than) the jnp wavefront VJP in
+    render_grad_sampled: kernel-side table cotangents chained through the
+    differentiable table builders.
+    """
+    def build(s):
+        return _camera_table(s), _sphere_table(s)
+
+    (cam_tab, sph_tab), build_vjp = jax.vjp(build, scene)
+    flags = specialize_flags(scene)
+    # the kernel accumulates raw per-sample contributions; the rendered
+    # image is their mean, so the mean-image cotangent carries 1/spp
+    gcam, gsph = _grad_tables_inner(
+        cam_tab, sph_tab, scene.spheres.count, scene.sky.kind, cfg,
+        g_img / jnp.float32(cfg.spp), jnp.int32(seed), jnp.int32(0),
+        cfg.spp, flags, interpret)
+    (s_bar,) = build_vjp((gcam, gsph))
+    return s_bar

@@ -260,8 +260,16 @@ def render_and_grad(scene: Scene, cfg: RenderConfig, loss_fn, seed: int = 0,
 def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
                         seed: int = 0, spp_chunk: int = 25,
                         row_chunk: int | None = None,
-                        winner_backend: str = "auto"):
+                        winner_backend: str = "auto",
+                        grad_backend: str = "auto"):
     """Full-scale differentiable render: (loss, image, grads).
+
+    grad_backend selects the backward engine: "pallas" = the on-chip
+    backward megakernel (kernels/megagrad.py — VMEM path replay +
+    trace-time-vjp reverse sweep; ~50x the jnp VJP's throughput), "jnp" =
+    the chunked wavefront-scan VJP below, "auto" = pallas when the scene
+    is in the forward megakernel's scope and we are on a TPU (or
+    cfg.backend forces pallas).
 
     The radiance mean is linear in per-sample contributions, so scene
     gradients accumulate over (row-block, sample-chunk) VJP calls:
@@ -285,6 +293,17 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
     img = render(scene, cfg, seed=seed)
     loss, g_img = jax.value_and_grad(
         lambda im: loss_fn(im))(img)
+
+    on_tpu_g = jax.default_backend() == "tpu"
+    if grad_backend in ("auto", "pallas"):
+        from ..kernels.megagrad import render_grad_scene, supports_grad
+        use_pl_grad = supports_grad(scene, cfg) and (
+            grad_backend == "pallas" or on_tpu_g
+            or cfg.backend == "pallas")
+        if use_pl_grad:
+            grads = render_grad_scene(scene, cfg, g_img, seed,
+                                      interpret=not on_tpu_g)
+            return loss, img, grads
 
     if row_chunk is None:
         row_chunk = h
