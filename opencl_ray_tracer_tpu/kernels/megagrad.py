@@ -573,18 +573,27 @@ def render_grad_scene(scene: Scene, cfg: RenderConfig, g_img, seed,
 
     Equivalent to (but far faster than) the jnp wavefront VJP in
     render_grad_sampled: kernel-side table cotangents chained through the
-    differentiable table builders.
+    differentiable table builders.  The inner call is jitted (the Pallas
+    kernel trace alone costs seconds); flags need the concrete scene, so
+    they are derived out here.
     """
+    flags = specialize_flags(scene)
+    return _grad_scene_jit(scene, cfg, g_img, jnp.int32(seed), flags,
+                           interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "flags", "interpret"))
+def _grad_scene_jit(scene, cfg, g_img, seed, flags, interpret):
     def build(s):
         return _camera_table(s), _sphere_table(s)
 
     (cam_tab, sph_tab), build_vjp = jax.vjp(build, scene)
-    flags = specialize_flags(scene)
     # the kernel accumulates raw per-sample contributions; the rendered
     # image is their mean, so the mean-image cotangent carries 1/spp
     gcam, gsph = _grad_tables_inner(
         cam_tab, sph_tab, scene.spheres.count, scene.sky.kind, cfg,
-        g_img / jnp.float32(cfg.spp), jnp.int32(seed), jnp.int32(0),
+        g_img / jnp.float32(cfg.spp), seed, jnp.int32(0),
         cfg.spp, flags, interpret)
     (s_bar,) = build_vjp((gcam, gsph))
     return s_bar
