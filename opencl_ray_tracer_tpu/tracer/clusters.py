@@ -73,8 +73,15 @@ def _bvh_order(idx: np.ndarray, cent: np.ndarray, leaf: int) -> list:
 
 
 def build_mesh_plan(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
-                    box_id: np.ndarray, chunk: int = 512) -> MeshPlan:
-    """Build the clustering plan from concrete (numpy) triangle data."""
+                    box_id: np.ndarray, chunk: int = 512,
+                    eye: np.ndarray | None = None) -> MeshPlan:
+    """Build the clustering plan from concrete (numpy) triangle data.
+
+    eye (camera position) optionally orders chunks front-to-back by
+    nearest chunk-centroid distance: the Pallas kernels' entry-t culling
+    (skip a chunk whose AABB entry lies beyond the running closest hit)
+    then fires for far chunks once a near chunk has set a small best-t —
+    the static-schedule analog of ordered BVH traversal."""
     t = p0.shape[0]
     cent = (p0 + p1 + p2) / 3.0
     order_parts = []
@@ -90,6 +97,20 @@ def build_mesh_plan(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
         chunk_bids.extend([int(b)] * (grouped.size // chunk))
     perm = (np.concatenate(order_parts) if order_parts
             else np.zeros((0,), np.int32))
+    chunk_bids = list(chunk_bids)
+    if eye is not None and perm.size:
+        n_chunks = perm.size // chunk
+        key = []
+        for ci in range(n_chunks):
+            ids = perm[ci * chunk:(ci + 1) * chunk]
+            ids = ids[ids >= 0]
+            key.append(float(np.linalg.norm(cent[ids] - eye[None, :],
+                                            axis=1).min())
+                       if ids.size else np.inf)
+        order = np.argsort(np.asarray(key), kind="stable")
+        perm = np.concatenate([perm[ci * chunk:(ci + 1) * chunk]
+                               for ci in order])
+        chunk_bids = [chunk_bids[ci] for ci in order]
     return MeshPlan(perm_bytes=perm.astype(np.int32).tobytes(),
                     chunk_box_id=tuple(chunk_bids),
                     n_chunks=perm.size // chunk if chunk else 0,
@@ -111,13 +132,17 @@ def plan_for_scene(scene, chunk: int = 512) -> MeshPlan | None:
            for x in (tris.p0, tris.p1, tris.p2, tris.box_id)):
         return None
     p0 = np.asarray(tris.p0)
+    eye = None
+    if not isinstance(scene.camera.look_from, jax.core.Tracer):
+        eye = np.asarray(scene.camera.look_from, np.float64)
     key = (hash((p0[:: max(1, p0.shape[0] // 64)].tobytes(),
-                 p0.shape[0], chunk)))
+                 p0.shape[0], chunk,
+                 None if eye is None else eye.tobytes())))
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
         return hit
     plan = build_mesh_plan(p0, np.asarray(tris.p1), np.asarray(tris.p2),
-                           np.asarray(tris.box_id), chunk)
+                           np.asarray(tris.box_id), chunk, eye=eye)
     if len(_PLAN_CACHE) > 32:
         _PLAN_CACHE.clear()
     _PLAN_CACHE[key] = plan
