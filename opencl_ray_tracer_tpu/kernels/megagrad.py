@@ -518,7 +518,7 @@ def _grad_tables_jit(scene, cfg, g_img, seed, sample_base, n_samples,
 
 def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
                        seed, sample_base, n_samples, flags, interpret):
-    has_metal, has_diel, has_emit, has_fuzz, has_aperture, _ = flags
+    has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags[:5]
     h, w = g_img.shape[0], g_img.shape[1]
     n_pix = h * w
     n_tiles = -(-n_pix // TILE)

@@ -215,11 +215,15 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                  sky_kind: int, clamp_samples: bool, nan_policy: str,
                  has_metal: bool, has_diel: bool, has_emit: bool,
                  has_fuzz: bool, has_aperture: bool,
-                 sphere_groups=None):
+                 sphere_groups=None, sphere_spec=None):
     """Build the kernel body with all config baked in statically.
 
     sphere_groups: optional tuple of tuples of (permuted) sphere indices —
     the grouped fold for large sphere counts (module docstring).
+    sphere_spec: optional (types, fold_fields) static per-sphere
+    specialization from _sphere_fold_spec — enables the register-fold
+    winner-attribute path (fold only spheres whose value differs from the
+    scene's majority value; material classes resolved at trace time).
     """
     def kernel(off_ref, cam_ref, sph_ref, grp_ref, r_ref, g_ref, b_ref,
                st, acc, *rest):
@@ -315,9 +319,14 @@ def _make_kernel(n_spheres: int, width: int, height: int,
             # gpu_kernel.cl:455-487; closest-so-far fold :358-372) ----
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a              # the bounce's one divide
+            neg_inv_a = -inv_a
             inv_len = jax.lax.rsqrt(a)
 
             def sphere_test(i):
+                """Candidate t for sphere i.  Root selection is the fused
+                equivalent of the reference's near-then-far ladder
+                (gpu_kernel.cl:469-480): r0<=r1 always, so try-near-else-
+                far == select(r0>=tMin, r0, r1) + one validity test."""
                 ocx = ox - sph_ref[F_CX, i]
                 ocy = oy - sph_ref[F_CY, i]
                 ocz = oz - sph_ref[F_CZ, i]
@@ -326,13 +335,52 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                        - sph_ref[F_R2, i])
                 disc = half_b * half_b - a * c_t
                 sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
-                r0 = (-half_b - sq) * inv_a
-                r1 = (-half_b + sq) * inv_a
-                ok0 = (disc >= 0.0) & (r0 >= t_min)
-                ok1 = (disc >= 0.0) & (r1 >= t_min)
-                return jnp.where(ok0, r0, jnp.where(ok1, r1, BIG))
+                nb = half_b * neg_inv_a
+                sqa = sq * inv_a
+                r0 = nb - sqa
+                r1 = nb + sqa
+                t_sel = jnp.where(r0 >= t_min, r0, r1)
+                valid = (disc >= 0.0) & (t_sel >= t_min)
+                return jnp.where(valid, t_sel, BIG)
 
-            if sphere_groups is None:
+            if sphere_groups is None and sphere_spec is not None:
+                # Lean loop (only best_t/best_i live — more live values
+                # spill vector registers, measured slower) + SPARSE
+                # post-loop gathers: each field tests only the spheres
+                # whose value differs from the scene majority (e.g. the
+                # book-cover's 97 same-radius spheres cost 3 selects for
+                # 1/r instead of 100; all-1.5-IOR glass costs zero).
+                types, fold_fields = sphere_spec
+                best_t = jnp.full(shape, BIG)
+                best_i = jnp.zeros(shape, jnp.int32)
+                for i in range(n_spheres):
+                    t_i = sphere_test(i)
+                    upd = t_i < best_t
+                    best_t = jnp.minimum(t_i, best_t)
+                    best_i = jnp.where(upd, i, best_i)
+
+                spec_by_field = {f: (d, m) for f, d, m in fold_fields}
+                type_counts = {}
+                for t in types:
+                    type_counts[t] = type_counts.get(t, 0) + 1
+                majority_type = max(type_counts, key=type_counts.get)
+
+                def gather(field, init=0.0):
+                    if field == F_TYPE:
+                        v = jnp.full(shape, float(majority_type))
+                        for i in range(n_spheres):
+                            if types[i] != majority_type:
+                                v = jnp.where(best_i == i,
+                                              jnp.float32(types[i]), v)
+                        return v
+                    dflt_idx, mask = spec_by_field[field]
+                    v = sph_ref[field, dflt_idx] + zero
+                    for i in range(n_spheres):
+                        if mask[i]:
+                            v = jnp.where(best_i == i, sph_ref[field, i],
+                                          v)
+                    return v
+            elif sphere_groups is None:
                 best_t = jnp.full(shape, BIG)
                 best_i = jnp.zeros(shape, jnp.int32)
                 for i in range(n_spheres):
@@ -403,18 +451,15 @@ def _make_kernel(n_spheres: int, width: int, height: int,
             hy = oy + t_safe * dy
             hz = oz + t_safe * dz
 
-            scx = gather(F_CX)
-            scy = gather(F_CY)
-            scz = gather(F_CZ)
             inv_r = gather(F_INVR, 1.0)
             alr = gather(F_ALR)
             alg = gather(F_ALG)
             alb = gather(F_ALB)
             mtype = gather(F_TYPE)
 
-            nx = (hx - scx) * inv_r
-            ny = (hy - scy) * inv_r
-            nz = (hz - scz) * inv_r
+            nx = (hx - gather(F_CX)) * inv_r
+            ny = (hy - gather(F_CY)) * inv_r
+            nz = (hz - gather(F_CZ)) * inv_r
             front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
             nx = nx * sgn
@@ -617,6 +662,73 @@ def render_pallas(scene: Scene, cfg: RenderConfig, seed: int = 0,
 # callers can lower the threshold.
 SPHERE_GROUP_MIN = 10**9
 SPHERE_GROUP_SIZE = 16
+# Sparse winner gathers won A/B on BOTH benchmark scenes (README 5-sphere
+# 0.292 -> 0.283 s min-of-8; book-cover 100-sphere 2.16 -> 1.82 s), so the
+# spec path is always on when no grouping plan is active.
+SPHERE_SPEC_MIN = 0
+
+
+def _fold_entry(field, vals, relevant):
+    """(field, default_idx, mask) for one winner attribute: gather
+    post-loop via the winner index over ONLY the spheres whose value
+    differs from the majority value among the `relevant` spheres (the
+    ones whose material class can read the field); the register is
+    initialized to the majority value.  Sound because the gather tests
+    the final winner index, not a running fold.  A field uniform across
+    the relevant spheres costs nothing (empty mask); irrelevant winners
+    read the default, which their material path never uses.
+
+    (An in-loop register-fold variant was measured SLOWER on both the
+    5-sphere and 100-sphere scenes: carrying ~11 live (64,128) values
+    through the unrolled intersection loop spills vector registers —
+    the same failure mode as the round-2 scratch attribute folds.)"""
+    vals = np.asarray(vals, np.float64)
+    idx = np.nonzero(relevant)[0]
+    if idx.size == 0:
+        return (field, 0, tuple(False for _ in vals))
+    vv = vals[idx]
+    uniq, counts = np.unique(vv, return_counts=True)
+    dflt = uniq[np.argmax(counts)]
+    default_idx = int(idx[np.nonzero(vv == dflt)[0][0]])
+    differing = tuple(bool(relevant[i] and vals[i] != dflt)
+                      for i in range(len(vals)))
+    return (field, default_idx, differing)
+
+
+def _sphere_fold_spec(scene: Scene):
+    """Static per-sphere specialization for the register-fold winner path:
+    (types, fold_fields) where types is the per-sphere material class and
+    fold_fields lists (field, default_idx, fold_mask) for each attribute
+    the kernel must carry.  A field is only folded for spheres whose value
+    differs from the scene majority AND whose material class can read it
+    (fuzz: metals; ior: dielectrics; albedo: non-dielectrics)."""
+    s = scene.spheres
+    types = tuple(int(t) for t in np.asarray(s.mat_type))
+    t_arr = np.asarray(s.mat_type)
+    is_metal = t_arr == mat.METAL
+    is_diel = t_arr == mat.DIELECTRIC
+    radius = np.asarray(s.radius)
+    albedo = np.asarray(s.albedo)
+    center = np.asarray(s.center)
+    every = np.ones_like(is_metal)
+    fields = [
+        _fold_entry(F_CX, center[:, 0], every),
+        _fold_entry(F_CY, center[:, 1], every),
+        _fold_entry(F_CZ, center[:, 2], every),
+        _fold_entry(F_INVR, 1.0 / np.maximum(radius, 1e-30), every),
+        _fold_entry(F_ALR, albedo[:, 0], ~is_diel),
+        _fold_entry(F_ALG, albedo[:, 1], ~is_diel),
+        _fold_entry(F_ALB, albedo[:, 2], ~is_diel),
+    ]
+    if bool(is_metal.any()) and bool((np.asarray(s.fuzz)[is_metal]
+                                      > 0).any()):
+        fields.append(_fold_entry(F_FUZZ, np.asarray(s.fuzz), is_metal))
+    if bool(is_diel.any()):
+        ior = np.asarray(s.ior)
+        fields.append(_fold_entry(F_IOR, ior, is_diel))
+        fields.append(_fold_entry(F_INVIOR,
+                                  1.0 / np.maximum(ior, 1e-8), is_diel))
+    return (types, tuple(fields))
 
 
 def specialize_flags(scene: Scene):
@@ -627,6 +739,7 @@ def specialize_flags(scene: Scene):
 
     For large sphere counts the flags carry a spatial grouping plan
     (permutation + group partition, both static) for the grouped fold.
+    The last element is the register-fold spec (_sphere_fold_spec).
     """
     types = np.asarray(scene.spheres.mat_type)
     fuzz = np.asarray(scene.spheres.fuzz)
@@ -661,14 +774,18 @@ def specialize_flags(scene: Scene):
             groups.append(tuple(range(s, s + (b - a))))
             s += b - a
         plan = (tuple(int(i) for i in order), tuple(groups))
-    return (has_metal, has_diel, has_emit, has_fuzz, aperture > 0.0, plan)
+    spec = (_sphere_fold_spec(scene)
+            if plan is None and len(types) >= SPHERE_SPEC_MIN else None)
+    return (has_metal, has_diel, has_emit, has_fuzz, aperture > 0.0, plan,
+            spec)
 
 
 def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
                         flags, rows, pix_offset):
     """Trace-safe megakernel call: flags from specialize_flags, scene may
     be traced (used inside shard_map, parallel/sharded.py)."""
-    has_metal, has_diel, has_emit, has_fuzz, has_aperture, plan = flags
+    (has_metal, has_diel, has_emit, has_fuzz, has_aperture, plan,
+     spec) = flags
     n_pix = cfg.width * rows
     n_tiles = -(-n_pix // TILE)
     perm, groups = plan if plan is not None else (None, None)
@@ -680,7 +797,7 @@ def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
         clamp_samples=cfg.clamp_samples, nan_policy=cfg.nan_policy,
         has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
         has_fuzz=has_fuzz, has_aperture=has_aperture,
-        sphere_groups=groups)
+        sphere_groups=groups, sphere_spec=spec)
 
     if plan is not None:
         grp_tab = _sphere_group_aabbs(scene, perm, groups)
