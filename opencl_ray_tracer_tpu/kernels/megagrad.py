@@ -10,11 +10,29 @@ bound at ~90M ray-bounces/s (measured; see benchmarks/profile_fwdbwd.py).
 This kernel computes the VJP of the path-tracing estimator w.r.t. the
 differentiable scene tables directly on-chip:
 
-- **Per-sample path replay with VMEM records.**  For each (pixel, sample)
-  the bounce chain is replayed (same counter RNG, same fold math as the
-  forward megakernel) storing per-bounce (origin, direction, throughput) in
-  a VMEM ring — ~4 MB for a (16, 128)-pixel tile at depth 50.  No HBM
-  residuals: the whole reverse pass runs out of VMEM.
+- **Record ring with path regeneration (both directions wavefront).**  The
+  naive per-sample replay+reverse runs each loop to the MAX path length
+  across the tile's 2048 lanes — at heavy-tailed depth distributions most
+  lanes idle most iterations (measured 5.27 s fwd+bwd vs 0.29 s forward).
+  Instead, a fill loop advances EVERY lane one bounce per iteration —
+  terminated lanes immediately regenerate their next sample, exactly like
+  the forward megakernel (the counter RNG makes the draws identical) —
+  writing one record (o, d, T, sample, depth) per slot into a VMEM ring
+  (~6 MB for a (16, 128) tile x 64 slots).  When the ring is full it is
+  unwound in reverse; then the next round refills it.  Paths still
+  mid-flight at the ring boundary are ABANDONED (their partial records
+  yield exactly zero adjoint — see below) and recomputed from their camera
+  ray next round: expected waste = E[path length]/N_SLOTS, a few percent.
+- **Per-path adjoint isolation falls out of the reverse walk.**  Walking
+  slots top-down, a record's bounce is re-linearized and its VJP applied
+  with the lane's running state adjoint plus the pixel cotangent on the
+  contribution output.  The contribution is nonzero ONLY at a path's
+  terminal bounce, so terminal records self-seed through the
+  ``where(term, ...)`` transpose; at a ``depth == 0`` record the camera
+  VJP is chained and the lane's adjoint zeroed, so the record below (the
+  PREVIOUS path's terminal bounce) starts from a clean adjoint.  Abandoned
+  partial chains end in a non-terminal record entered with a zero adjoint,
+  so they propagate exactly zero.
 - **Reverse sweep with trace-time autodiff.**  The adjoint walks bounces
   backward; each step calls ``jax.vjp`` *at trace time* on the pure
   single-bounce function (sphere fold + shared ``scatter_block`` +
@@ -71,11 +89,17 @@ from .megakernel import (BIG, LANES, N_FIELDS, TWO_PI, _U32, _camera_table,
                          C_VZ, C_LX, C_LY, C_LZ, C_DUX, C_DUY, C_DUZ,
                          C_DVX, C_DVY, C_DVZ, C_SKY0, C_SKY1, C_SKY2)
 
-# Smaller tiles than the forward kernel: the replay record buffer is
-# N_REC x max_depth x tile and must fit VMEM (~16 MB/core).
+# Smaller tiles than the forward kernel: the record ring is
+# N_REC x N_SLOTS x tile and must fit VMEM (~16 MB/core).
 TILE_ROWS = 16
 TILE = TILE_ROWS * LANES
-N_REC = 9          # ox,oy,oz,dx,dy,dz,tr,tg,tb per bounce
+N_REC = 11         # ox,oy,oz,dx,dy,dz,tr,tg,tb,sample,depth per record
+(R_OX, R_OY, R_OZ, R_DX, R_DY, R_DZ, R_TR, R_TG, R_TB,
+ R_S, R_K) = range(N_REC)
+# Ring slots per round.  Must be >= max_depth so a freshly restarted path
+# always completes within one round (forward progress); 64 keeps the ring
+# under 6 MB at (16, 128) tiles and the abandoned-path waste ~4%.
+MIN_SLOTS = 64
 
 # Per-sphere scalar cotangents are carried as individual values; bound the
 # sphere count so the reduce/select overhead stays small.  Larger scenes
@@ -90,10 +114,10 @@ CAM_SLOTS = (C_OX, C_OY, C_OZ, C_HX, C_HY, C_HZ, C_VX, C_VY, C_VZ,
              C_LX, C_LY, C_LZ, C_DUX, C_DUY, C_DUZ, C_DVX, C_DVY, C_DVZ,
              C_SKY0, C_SKY1, C_SKY2)
 
-# Adjoint/state scratch rows.
+# Adjoint/state scratch rows.  S_S/S_K are f32 counters (exact ints).
 (A_OX, A_OY, A_OZ, A_DX, A_DY, A_DZ, A_TR, A_TG, A_TB,   # adjoints
- S_OX, S_OY, S_OZ, S_DX, S_DY, S_DZ, S_TR, S_TG, S_TB,    # replay state
- S_LEN, S_DONE) = range(20)
+ S_OX, S_OY, S_OZ, S_DX, S_DY, S_DZ, S_TR, S_TG, S_TB,    # fill state
+ S_S, S_K) = range(20)
 N_ST = 20
 
 
@@ -101,9 +125,11 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                       spp: int, max_depth: int, t_min: float,
                       sky_kind: int, clamp_samples: bool,
                       has_metal: bool, has_diel: bool, has_emit: bool,
-                      has_fuzz: bool, has_aperture: bool):
+                      has_fuzz: bool, has_aperture: bool,
+                      n_slots: int = MIN_SLOTS):
     """Backward kernel body; all config static.  NaN policy is always
-    "zero" (order-invariant; see module docstring)."""
+    "zero" (order-invariant; see module docstring).  n_slots = record-ring
+    depth (>= max_depth for forward progress)."""
     fi = {f: p for p, f in enumerate(DIFF_FIELDS)}
     ci = {c: p for p, c in enumerate(CAM_SLOTS)}
 
@@ -323,32 +349,50 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             dz = cm(C_LZ) + uu * cm(C_HZ) + vv * cm(C_VZ) - oz
             return ox, oy, oz, dx, dy, dz
 
-        def sample_body(s, carry):
-            s_u = (s + sample_base).astype(_U32) + jnp.zeros_like(pix_u)
-            u0, u1, u2, u3 = _uniform4(seed_arr, pix_u,
-                                       s_u, jnp.zeros_like(pix_u))
-            ox0, oy0, oz0, dx0, dy0, dz0 = camera_ray_fn(
-                cam_s, u0, u1, u2, u3)
+        spp_f = jnp.float32(spp)
 
-            # ---- replay: store (o, d, T) per bounce in the VMEM ring ----
-            st[S_OX] = ox0
-            st[S_OY] = oy0
-            st[S_OZ] = oz0
-            st[S_DX] = dx0
-            st[S_DY] = dy0
-            st[S_DZ] = dz0
+        def s_to_u(s_f):
+            return (s_f.astype(jnp.int32) + sample_base).astype(_U32)
+
+        def fresh_ray(s_f):
+            """Camera ray for per-lane sample counter s_f (f32 exact int);
+            the counter RNG makes regeneration draws identical to a
+            sequential run's."""
+            s_u = s_to_u(s_f)
+            u0, u1, u2, u3 = _uniform4(seed_arr, pix_u, s_u,
+                                       jnp.zeros_like(pix_u))
+            return camera_ray_fn(cam_s, u0, u1, u2, u3)
+
+        st[S_S] = zero
+
+        def round_cond(c):
+            _, any_left = c
+            return any_left
+
+        def round_body(c):
+            it, _ = c
+            # Restart the current sample from its camera ray: a path cut
+            # by the previous ring boundary is recomputed in full (its
+            # partial records contributed exactly zero — module docstring).
+            s_f = st[S_S]
+            cox, coy, coz, cdx, cdy, cdz = fresh_ray(s_f)
+            st[S_OX] = cox
+            st[S_OY] = coy
+            st[S_OZ] = coz
+            st[S_DX] = cdx
+            st[S_DY] = cdy
+            st[S_DZ] = cdz
             st[S_TR] = zero + 1.0
             st[S_TG] = zero + 1.0
             st[S_TB] = zero + 1.0
-            st[S_LEN] = zero
-            st[S_DONE] = zero
+            st[S_K] = zero
 
-            def r_cond(c):
-                k, any_alive = c
-                return (k < max_depth) & any_alive
-
-            def r_body(c):
-                k, _ = c
+            # ---- fill: every lane advances one bounce per slot,
+            # regenerating its next sample on termination ----
+            def fill_body(j, _):
+                s_f = st[S_S]
+                k_f = st[S_K]
+                active = s_f < spp_f
                 ox = st[S_OX]
                 oy = st[S_OY]
                 oz = st[S_OZ]
@@ -358,44 +402,49 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 tr = st[S_TR]
                 tg = st[S_TG]
                 tb = st[S_TB]
-                alive = st[S_DONE] == 0.0
-                rows = pl.ds(k * TILE_ROWS, TILE_ROWS)
-                rec[0, rows, :] = ox
-                rec[1, rows, :] = oy
-                rec[2, rows, :] = oz
-                rec[3, rows, :] = dx
-                rec[4, rows, :] = dy
-                rec[5, rows, :] = dz
-                rec[6, rows, :] = tr
-                rec[7, rows, :] = tg
-                rec[8, rows, :] = tb
-                depth_f = k.astype(jnp.float32) + zero
-                a0, a1, a2, a3, b0, b1 = draws(s_u, depth_f)
-                term_allowed = ((k + 1 < max_depth) | (zero > 1.0))
+                rows = pl.ds(j * TILE_ROWS, TILE_ROWS)
+                rec[R_OX, rows, :] = ox
+                rec[R_OY, rows, :] = oy
+                rec[R_OZ, rows, :] = oz
+                rec[R_DX, rows, :] = dx
+                rec[R_DY, rows, :] = dy
+                rec[R_DZ, rows, :] = dz
+                rec[R_TR, rows, :] = tr
+                rec[R_TG, rows, :] = tg
+                rec[R_TB, rows, :] = tb
+                rec[R_S, rows, :] = s_f
+                rec[R_K, rows, :] = jnp.where(active, k_f, -1.0)
+                a0, a1, a2, a3, b0, b1 = draws(s_to_u(s_f), k_f)
+                term_allowed = k_f + 1.0 < jnp.float32(max_depth)
                 (o2x, o2y, o2z, d2x, d2y, d2z, t2r, t2g, t2b,
                  _, _, _, cont) = bounce_fn(
                     cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz,
-                    tr, tg, tb, alive, term_allowed,
+                    tr, tg, tb, active, term_allowed,
                     a0, a1, a2, a3, b0, b1)
-                term = alive & ~cont
-                st[S_OX] = o2x
-                st[S_OY] = o2y
-                st[S_OZ] = o2z
-                st[S_DX] = d2x
-                st[S_DY] = d2y
-                st[S_DZ] = d2z
-                st[S_TR] = t2r
-                st[S_TG] = t2g
-                st[S_TB] = t2b
-                st[S_LEN] = jnp.where(term, jnp.float32(k + 1), st[S_LEN])
-                st[S_DONE] = jnp.where(term, 1.0, st[S_DONE])
-                return (k + 1, jnp.any(cont))
+                term = active & ~cont
+                s_new = jnp.where(term, s_f + 1.0, s_f)
+                regen = term & (s_new < spp_f)
+                nox, noy, noz, ndx, ndy, ndz = fresh_ray(s_new)
+                st[S_S] = s_new
+                st[S_K] = jnp.where(regen, 0.0,
+                                    jnp.where(cont, k_f + 1.0, k_f))
+                st[S_OX] = jnp.where(regen, nox, jnp.where(cont, o2x, ox))
+                st[S_OY] = jnp.where(regen, noy, jnp.where(cont, o2y, oy))
+                st[S_OZ] = jnp.where(regen, noz, jnp.where(cont, o2z, oz))
+                st[S_DX] = jnp.where(regen, ndx, jnp.where(cont, d2x, dx))
+                st[S_DY] = jnp.where(regen, ndy, jnp.where(cont, d2y, dy))
+                st[S_DZ] = jnp.where(regen, ndz, jnp.where(cont, d2z, dz))
+                st[S_TR] = jnp.where(regen, 1.0,
+                                     jnp.where(cont, t2r, tr))
+                st[S_TG] = jnp.where(regen, 1.0,
+                                     jnp.where(cont, t2g, tg))
+                st[S_TB] = jnp.where(regen, 1.0,
+                                     jnp.where(cont, t2b, tb))
+                return 0
 
-            jax.lax.while_loop(r_cond, r_body, (jnp.int32(0), True))
-            k_len = st[S_LEN]
+            jax.lax.fori_loop(0, n_slots, fill_body, 0)
 
-            # ---- reverse sweep: adjoints from the terminal bounce back
-            # to the camera ray ----
+            # ---- reverse: unwind the ring top-down ----
             st[A_OX] = zero
             st[A_OY] = zero
             st[A_OZ] = zero
@@ -405,24 +454,26 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             st[A_TR] = zero
             st[A_TG] = zero
             st[A_TB] = zero
-            kh = jnp.max(k_len).astype(jnp.int32)
 
-            def b_body(kc):
-                k = kc - 1
-                rows = pl.ds(k * TILE_ROWS, TILE_ROWS)
-                ox = rec[0, rows, :]
-                oy = rec[1, rows, :]
-                oz = rec[2, rows, :]
-                dx = rec[3, rows, :]
-                dy = rec[4, rows, :]
-                dz = rec[5, rows, :]
-                tr = rec[6, rows, :]
-                tg = rec[7, rows, :]
-                tb = rec[8, rows, :]
-                kf = k.astype(jnp.float32)
-                alive = kf < k_len          # lane was mid-path at bounce k
-                a0, a1, a2, a3, b0, b1 = draws(s_u, kf + zero)
-                term_allowed = ((k + 1 < max_depth) | (zero > 1.0))
+            def rev_body(jj, _):
+                j = n_slots - 1 - jj
+                rows = pl.ds(j * TILE_ROWS, TILE_ROWS)
+                ox = rec[R_OX, rows, :]
+                oy = rec[R_OY, rows, :]
+                oz = rec[R_OZ, rows, :]
+                dx = rec[R_DX, rows, :]
+                dy = rec[R_DY, rows, :]
+                dz = rec[R_DZ, rows, :]
+                tr = rec[R_TR, rows, :]
+                tg = rec[R_TG, rows, :]
+                tb = rec[R_TB, rows, :]
+                s_rec = rec[R_S, rows, :]
+                k_rec = rec[R_K, rows, :]
+                alive = k_rec >= 0.0
+                k_safe = jnp.maximum(k_rec, 0.0)
+                s_u = s_to_u(s_rec)
+                a0, a1, a2, a3, b0, b1 = draws(s_u, k_safe)
+                term_allowed = k_safe + 1.0 < jnp.float32(max_depth)
 
                 def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz, tr, tg, tb):
                     out = bounce_fn(cam_t, sph_t, mtypes, ox, oy, oz,
@@ -432,42 +483,56 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
 
                 _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
                                     dx, dy, dz, tr, tg, tb)
+                # Terminal records self-seed from (g_r, g_g, g_b) through
+                # the where(term, ...) transpose; mid-path records route
+                # the state adjoint; invalid records pass it through.
                 cots = (st[A_OX], st[A_OY], st[A_OZ],
                         st[A_DX], st[A_DY], st[A_DZ],
                         st[A_TR], st[A_TG], st[A_TB],
                         g_r, g_g, g_b)
                 (gc_s, gs_s, aox, aoy, aoz, adx, ady, adz,
                  atr, atg, atb) = vjp_fn(cots)
-                st[A_OX] = aox
-                st[A_OY] = aoy
-                st[A_OZ] = aoz
-                st[A_DX] = adx
-                st[A_DY] = ady
-                st[A_DZ] = adz
-                st[A_TR] = atr
-                st[A_TG] = atg
-                st[A_TB] = atb
+
+                # depth-0 records: chain the camera VJP for this sample's
+                # draws, then reset the lane adjoint — the record below
+                # belongs to the previous path.
+                is_k0 = alive & (k_rec == 0.0)
+                u0, u1, u2, u3 = _uniform4(seed_arr, pix_u, s_u,
+                                           jnp.zeros_like(pix_u))
+
+                def cray(cam_t):
+                    return camera_ray_fn(cam_t, u0, u1, u2, u3)
+
+                _, cvjp = jax.vjp(cray, cam_s)
+                (gc0,) = cvjp((jnp.where(is_k0, aox, 0.0),
+                               jnp.where(is_k0, aoy, 0.0),
+                               jnp.where(is_k0, aoz, 0.0),
+                               jnp.where(is_k0, adx, 0.0),
+                               jnp.where(is_k0, ady, 0.0),
+                               jnp.where(is_k0, adz, 0.0)))
+                st[A_OX] = jnp.where(is_k0, 0.0, aox)
+                st[A_OY] = jnp.where(is_k0, 0.0, aoy)
+                st[A_OZ] = jnp.where(is_k0, 0.0, aoz)
+                st[A_DX] = jnp.where(is_k0, 0.0, adx)
+                st[A_DY] = jnp.where(is_k0, 0.0, ady)
+                st[A_DZ] = jnp.where(is_k0, 0.0, adz)
+                st[A_TR] = jnp.where(is_k0, 0.0, atr)
+                st[A_TG] = jnp.where(is_k0, 0.0, atg)
+                st[A_TB] = jnp.where(is_k0, 0.0, atb)
+
+                crow = jnp.zeros((1, LANES), jnp.float32)
+                for p, cslot in enumerate(CAM_SLOTS):
+                    crow = jnp.where(lane_i == cslot, crow + gc0[p], crow)
                 gacc[0, :n_rows_acc, :] = (gacc[0, :n_rows_acc, :]
                                            + scalars_to_rows(gc_s, gs_s))
-                return k
+                gacc[0, n_rows_acc - 1:n_rows_acc, :] = (
+                    gacc[0, n_rows_acc - 1:n_rows_acc, :] + crow)
+                return 0
 
-            jax.lax.while_loop(lambda k: k > 0, b_body, kh)
+            jax.lax.fori_loop(0, n_slots, rev_body, 0)
+            return (it + 1, jnp.any(st[S_S] < spp_f))
 
-            # chain the primary-ray adjoints into the camera table
-            def cray(cam_t):
-                return camera_ray_fn(cam_t, u0, u1, u2, u3)
-
-            _, cvjp = jax.vjp(cray, cam_s)
-            (gc0,) = cvjp((st[A_OX], st[A_OY], st[A_OZ],
-                           st[A_DX], st[A_DY], st[A_DZ]))
-            crow = jnp.zeros((1, LANES), jnp.float32)
-            for p, c in enumerate(CAM_SLOTS):
-                crow = jnp.where(lane_i == c, crow + gc0[p], crow)
-            gacc[0, n_rows_acc - 1:n_rows_acc, :] = (
-                gacc[0, n_rows_acc - 1:n_rows_acc, :] + crow)
-            return carry
-
-        jax.lax.fori_loop(0, spp, sample_body, 0)
+        jax.lax.while_loop(round_cond, round_body, (jnp.int32(0), True))
 
         # flush: accumulator rows -> table-shaped outputs (concatenate,
         # not .at[].set — scatters don't lower in Mosaic)
@@ -528,12 +593,16 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
         g = jnp.pad(g, ((0, pad), (0, 0)))
     g = g.T.reshape(3, n_tiles * TILE_ROWS, LANES)
 
+    # Ring depth: >= max_depth so a restarted path always completes within
+    # one round (forward progress), >= MIN_SLOTS to keep the abandoned-path
+    # recompute waste small.
+    n_slots = max(MIN_SLOTS, cfg.max_depth)
     kernel = _make_grad_kernel(
         n_spheres=n_spheres, width=w, height=h,
         spp=n_samples, max_depth=cfg.max_depth, t_min=cfg.t_min,
         sky_kind=sky_kind, clamp_samples=cfg.clamp_samples,
         has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
-        has_fuzz=has_fuzz, has_aperture=has_aperture)
+        has_fuzz=has_fuzz, has_aperture=has_aperture, n_slots=n_slots)
 
     gcam, gsph = pl.pallas_call(
         kernel,
@@ -556,8 +625,7 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
         ],
         scratch_shapes=[
             pltpu.VMEM((N_ST, TILE_ROWS, LANES), jnp.float32),
-            pltpu.VMEM((N_REC, cfg.max_depth * TILE_ROWS, LANES),
-                       jnp.float32),
+            pltpu.VMEM((N_REC, n_slots * TILE_ROWS, LANES), jnp.float32),
             pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
         ],
         interpret=interpret,
