@@ -90,8 +90,10 @@ from .megakernel import (BIG, LANES, N_FIELDS, TWO_PI, _U32, _camera_table,
                          C_DVX, C_DVY, C_DVZ, C_SKY0, C_SKY1, C_SKY2)
 
 # Smaller tiles than the forward kernel: the record ring is
-# N_REC x N_SLOTS x tile and must fit VMEM (~16 MB/core).
-TILE_ROWS = 16
+# N_REC x N_SLOTS x tile and must fit VMEM (~16 MB/core).  Swept on the
+# README scene at 250spp/d50: rows=8 1.30 s, 16 1.11 s, 32 1.07 s (the
+# ~11.5 MB ring still fits).
+TILE_ROWS = 32
 TILE = TILE_ROWS * LANES
 N_REC = 11         # ox,oy,oz,dx,dy,dz,tr,tg,tb,sample,depth per record
 (R_OX, R_OY, R_OZ, R_DX, R_DY, R_DZ, R_TR, R_TG, R_TB,

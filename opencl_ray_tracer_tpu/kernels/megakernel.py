@@ -210,6 +210,59 @@ def scatter_block(shape, dx, dy, dz, inv_len, nx, ny, nz, front,
     return new_dx, new_dy, new_dz, at_r, at_g, at_b, absorbed
 
 
+def sphere_winner_fold(n_spheres, sph_ref, shape, zero, sphere_test,
+                       sphere_spec):
+    """Lean closest-hit fold over spheres (only best_t/best_i live — more
+    live values spill vector registers, measured slower) + winner-attribute
+    gather factory, shared by the sphere and mesh megakernels.
+
+    With sphere_spec (from _sphere_fold_spec) the gathers are SPARSE: each
+    field tests only the spheres whose value differs from the scene
+    majority (e.g. the book-cover's 97 same-radius spheres cost 3 selects
+    for 1/r instead of 100; all-1.5-IOR glass costs zero).  Sound because
+    the gather tests the final winner index, not a running fold.  Without a
+    spec the dense fold over all spheres is used.
+    """
+    best_t = jnp.full(shape, BIG)
+    best_i = jnp.zeros(shape, jnp.int32)
+    for i in range(n_spheres):
+        t_i = sphere_test(i)
+        upd = t_i < best_t
+        best_t = jnp.minimum(t_i, best_t)
+        best_i = jnp.where(upd, i, best_i)
+
+    if sphere_spec is not None:
+        types, fold_fields = sphere_spec
+        spec_by_field = {f: (d, m) for f, d, m in fold_fields}
+        type_counts = {}
+        for t in types:
+            type_counts[t] = type_counts.get(t, 0) + 1
+        majority_type = max(type_counts, key=type_counts.get)
+
+        def gather(field, init=0.0):
+            if field == F_TYPE:
+                v = jnp.full(shape, float(majority_type))
+                for i in range(n_spheres):
+                    if types[i] != majority_type:
+                        v = jnp.where(best_i == i,
+                                      jnp.float32(types[i]), v)
+                return v
+            dflt_idx, mask = spec_by_field[field]
+            v = sph_ref[field, dflt_idx] + zero
+            for i in range(n_spheres):
+                if mask[i]:
+                    v = jnp.where(best_i == i, sph_ref[field, i], v)
+            return v
+    else:
+        def gather(field, init=0.0):
+            v = jnp.full(shape, init, jnp.float32)
+            for i in range(n_spheres):
+                v = jnp.where(best_i == i, sph_ref[field, i], v)
+            return v
+
+    return best_t, best_i, gather
+
+
 def _make_kernel(n_spheres: int, width: int, height: int,
                  spp: int, max_depth: int, t_min: float,
                  sky_kind: int, clamp_samples: bool, nan_policy: str,
@@ -343,57 +396,10 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                 valid = (disc >= 0.0) & (t_sel >= t_min)
                 return jnp.where(valid, t_sel, BIG)
 
-            if sphere_groups is None and sphere_spec is not None:
-                # Lean loop (only best_t/best_i live — more live values
-                # spill vector registers, measured slower) + SPARSE
-                # post-loop gathers: each field tests only the spheres
-                # whose value differs from the scene majority (e.g. the
-                # book-cover's 97 same-radius spheres cost 3 selects for
-                # 1/r instead of 100; all-1.5-IOR glass costs zero).
-                types, fold_fields = sphere_spec
-                best_t = jnp.full(shape, BIG)
-                best_i = jnp.zeros(shape, jnp.int32)
-                for i in range(n_spheres):
-                    t_i = sphere_test(i)
-                    upd = t_i < best_t
-                    best_t = jnp.minimum(t_i, best_t)
-                    best_i = jnp.where(upd, i, best_i)
-
-                spec_by_field = {f: (d, m) for f, d, m in fold_fields}
-                type_counts = {}
-                for t in types:
-                    type_counts[t] = type_counts.get(t, 0) + 1
-                majority_type = max(type_counts, key=type_counts.get)
-
-                def gather(field, init=0.0):
-                    if field == F_TYPE:
-                        v = jnp.full(shape, float(majority_type))
-                        for i in range(n_spheres):
-                            if types[i] != majority_type:
-                                v = jnp.where(best_i == i,
-                                              jnp.float32(types[i]), v)
-                        return v
-                    dflt_idx, mask = spec_by_field[field]
-                    v = sph_ref[field, dflt_idx] + zero
-                    for i in range(n_spheres):
-                        if mask[i]:
-                            v = jnp.where(best_i == i, sph_ref[field, i],
-                                          v)
-                    return v
-            elif sphere_groups is None:
-                best_t = jnp.full(shape, BIG)
-                best_i = jnp.zeros(shape, jnp.int32)
-                for i in range(n_spheres):
-                    t_i = sphere_test(i)
-                    upd = t_i < best_t
-                    best_t = jnp.where(upd, t_i, best_t)
-                    best_i = jnp.where(upd, i, best_i)
-
-                def gather(field, init=0.0):
-                    v = jnp.full(shape, init, jnp.float32)
-                    for i in range(n_spheres):
-                        v = jnp.where(best_i == i, sph_ref[field, i], v)
-                    return v
+            if sphere_groups is None:
+                best_t, best_i, gather = sphere_winner_fold(
+                    n_spheres, sph_ref, shape, zero, sphere_test,
+                    sphere_spec)
             else:
                 # grouped fold: per-group AABB skip + entry-t culling.
                 # Only (t, winner index) live in scratch (pl.when bodies

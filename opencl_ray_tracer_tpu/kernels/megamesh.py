@@ -57,7 +57,8 @@ from ..scene import materials as mat
 from ..scene.sky import KIND_CONST, KIND_GRADIENT, KIND_HDR
 from ..tracer import mesh_accel as ma
 from .megakernel import (BIG, LANES, N_FIELDS, TWO_PI, _U32, _camera_table,
-                         _dot3, _sphere_table, _uniform4, scatter_block,
+                         _dot3, _sphere_fold_spec, _sphere_table,
+                         _uniform4, scatter_block, sphere_winner_fold,
                          F_CX, F_CY, F_CZ, F_ALR, F_ALG, F_ALB, F_FUZZ,
                          F_IOR, F_TYPE, F_R2, F_INVR, F_INVIOR,
                          C_OX, C_OY, C_OZ, C_HX, C_HY, C_HZ, C_VX, C_VY,
@@ -112,7 +113,7 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                  n_chunks: int, chunk: int, chunk_box_ids: tuple,
                  n_boxes: int, mesh_mtype: int,
                  continuation: bool = False, iter_cap: int | None = None,
-                 emit_state: bool = False):
+                 emit_state: bool = False, sphere_spec=None):
     """Kernel body with all structure baked statically.
 
     spp here is the per-dispatch sample count (HDR chunks the sample loop).
@@ -268,10 +269,12 @@ def _make_kernel(n_spheres: int, width: int, height: int,
             # ---- closest hit over spheres (HitSphere fold) ----
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
+            neg_inv_a = -inv_a
             inv_len = jax.lax.rsqrt(a)
-            best_t = jnp.full(shape, BIG)
-            best_i = jnp.zeros(shape, jnp.int32)
-            for i in range(n_spheres):
+
+            def sphere_test(i):
+                """Candidate t for sphere i (fused near-then-far ladder,
+                see megakernel.sphere_test)."""
                 ocx = ox - sph_ref[F_CX, i]
                 ocy = oy - sph_ref[F_CY, i]
                 ocz = oz - sph_ref[F_CZ, i]
@@ -280,14 +283,16 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                        - sph_ref[F_R2, i])
                 disc = half_b * half_b - a * c_t
                 sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
-                r0 = (-half_b - sq) * inv_a
-                r1 = (-half_b + sq) * inv_a
-                ok0 = (disc >= 0.0) & (r0 >= t_min)
-                ok1 = (disc >= 0.0) & (r1 >= t_min)
-                t_i = jnp.where(ok0, r0, jnp.where(ok1, r1, BIG))
-                upd = t_i < best_t
-                best_t = jnp.where(upd, t_i, best_t)
-                best_i = jnp.where(upd, i, best_i)
+                nb = half_b * neg_inv_a
+                sqa = sq * inv_a
+                r0 = nb - sqa
+                r1 = nb + sqa
+                t_sel = jnp.where(r0 >= t_min, r0, r1)
+                valid = (disc >= 0.0) & (t_sel >= t_min)
+                return jnp.where(valid, t_sel, BIG)
+
+            best_t, best_i, gather = sphere_winner_fold(
+                n_spheres, sph_ref, shape, zero, sphere_test, sphere_spec)
 
             # ---- closest hit over triangle clusters (MXU fold) ----
             tri_sc[0] = jnp.full(shape, BIG)     # best tri t
@@ -470,20 +475,11 @@ def _make_kernel(n_spheres: int, width: int, height: int,
             hy = oy + t_safe * dy
             hz = oz + t_safe * dz
 
-            def gather(field, init=0.0):
-                v = jnp.full(shape, init, jnp.float32)
-                for i in range(n_spheres):
-                    v = jnp.where(best_i == i, sph_ref[field, i], v)
-                return v
-
             # sphere outward normal
-            scx = gather(F_CX)
-            scy = gather(F_CY)
-            scz = gather(F_CZ)
             inv_r = gather(F_INVR, 1.0)
-            nx = (hx - scx) * inv_r
-            ny = (hy - scy) * inv_r
-            nz = (hz - scz) * inv_r
+            nx = (hx - gather(F_CX)) * inv_r
+            ny = (hy - gather(F_CY)) * inv_r
+            nz = (hz - gather(F_CZ)) * inv_r
             if n_chunks > 0:
                 # triangle outward normal (normalize the raw cross product)
                 tnx = tri_sc[1]
@@ -713,8 +709,9 @@ def specialize_mesh_flags(scene: Scene):
     s_fuzz = bool((fuzz[types == mat.METAL] > 0).any()) \
         if (types == mat.METAL).any() else False
     has_fuzz = s_fuzz or (m_type == mat.METAL and m_fuzz > 0)
+    spec = _sphere_fold_spec(scene) if scene.spheres.count > 0 else None
     return (has_metal, has_diel, has_emit, has_fuzz, aperture > 0.0,
-            m_type)
+            m_type, spec)
 
 
 def _mesh_camera_table(scene: Scene):
@@ -783,7 +780,8 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
     pix_offset must be a whole-row offset (a multiple of width) — the
     sharded entry point passes row-block offsets.
     """
-    has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type = flags
+    (has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type,
+     sph_spec) = flags
     hdr = scene.sky.kind == KIND_HDR
     n_tr = -(-rows // TILE_ROWS)
     n_tc = -(-cfg.width // LANES)
@@ -876,7 +874,8 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
               s_base, spp_c, n_tr, n_tc, w_flat, aabb, boxes, n_chunks,
               chunk, bids, n_boxes, cam_tab, sph_tab, hdr,
               iter_cap=None, emit_state=False, state_in=None):
-    has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type = flags
+    (has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type,
+     sph_spec) = flags
     continuation = state_in is not None
     kernel = _make_kernel(
         n_spheres=scene.spheres.count, width=cfg.width, height=cfg.height,
@@ -886,7 +885,7 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
         has_emit=has_emit, has_fuzz=has_fuzz, has_aperture=has_aperture,
         n_chunks=n_chunks, chunk=chunk, chunk_box_ids=bids,
         n_boxes=n_boxes, mesh_mtype=m_type, continuation=continuation,
-        iter_cap=iter_cap, emit_state=emit_state)
+        iter_cap=iter_cap, emit_state=emit_state, sphere_spec=sph_spec)
 
     in_specs = [
         pl.BlockSpec((1, 4), lambda *_: (0, 0), memory_space=pltpu.SMEM),
