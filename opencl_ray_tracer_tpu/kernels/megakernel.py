@@ -663,9 +663,13 @@ def render_pallas(scene: Scene, cfg: RenderConfig, seed: int = 0,
 # 250spp/d50): plain loop 2.16 s; grouped with 12-row attribute scratch
 # 3.14 s; grouped with 2-row scratch + near-to-far ordering 2.75 s — the
 # group slab tests + scratch round-trips cost more than the skipped sphere
-# tests save (camera frusta see most groups in that scene).  Disabled by
-# default; the code path stays tested for spatially sparse scenes where
-# callers can lower the threshold.
+# tests save (camera frusta see most groups in that scene).  Row-granular
+# gating inside groups (the megamesh trick) was also measured and LOST:
+# vs the 1.85 s plain loop, per-(1,128)-row gates ran 21.5 s (row ops
+# can't fill the 8-sublane VPU) and 8-row gates 4.6 s (the ds-sliced
+# scratch loads/stores per gate outweigh skipped sphere tests at this
+# density).  Disabled by default; the code path stays tested for
+# spatially sparse scenes where callers can lower the threshold.
 SPHERE_GROUP_MIN = 10**9
 SPHERE_GROUP_SIZE = 16
 # Sparse winner gathers won A/B on BOTH benchmark scenes (README 5-sphere
