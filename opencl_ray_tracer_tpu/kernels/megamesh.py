@@ -74,27 +74,91 @@ MESH_CHUNK = 1024          # triangles per cluster chunk (measured best on
 ROW_GROUP = 8              # rows per gating group in the intersection loop
 HDR_SPP_CHUNK = 8          # samples per dispatch in HDR mode (records)
 
-# Two-pass tail compaction: pass 1 runs the wavefront for at most
-# PASS1_ITERS(spp) iterations (enough for the vast majority of lanes to
-# finish every sample), then the few survivors — deep
-# ground<->car interreflection chains that would otherwise keep ~50
-# mostly-idle tiles iterating — are compacted into dense tiles (sorted by
-# a spatial key so rows regain cluster coherence) and finished by a
-# second, much smaller dispatch.  Exact: identical per-sample draws and
-# accumulation; only the NaN running-sum quirk would see the split
-# accumulator (same caveat as HDR, module docstring).
-PASS1_ITER_FACTOR = 4      # pass-1 iterations per sample (swept on the F1
-PASS1_ITER_SLACK = 8       # scene: 4*spp+8 and 5*spp+16 tie at 2.84 s;
-                           # 8*spp+24 3.16 s; no cap 3.46 s)
-COMPACT_FRACTION = 4       # pass-2 capacity = n_pixels / this (sorted
-                           # dead padding beyond the survivors costs ~one
-                           # iteration per tile, so headroom is cheap)
+# Multi-round tail compaction: round 0 runs the full-grid wavefront for at
+# most cap0 iterations; survivors — deep ground<->car interreflection
+# chains whose tiles would otherwise iterate mostly idle — are compacted
+# (sorted by a spatial key so 128-lane rows regain cluster coherence) into
+# a dense dispatch at 1/denom of the padded lane count, which runs its own
+# cap, compacts again, and so on until a final uncapped round.  Measured on
+# the F1 scene (survival curve at 5 spp/d32: 29% alive after 12 iters, 13%
+# after 24, 8% after 36, 4% after 48 — a heavy tail): a single two-pass
+# split costs 2.78 s where the multi-round ladder reaches the packed-work
+# floor (~57 ms per full-grid iteration, lane-proportional when packed).
+# Exact: identical per-sample draws and accumulation; only the NaN
+# running-sum quirk would see the split accumulator (same caveat as HDR,
+# module docstring).  Soundness: a round whose survivors exceed the next
+# round's capacity would silently drop paths, so every compaction emits an
+# ok flag; render_pallas_mesh re-renders with a single uncapped round if
+# any flag trips (capacities carry ~2x margins — in practice never).
+PASS1_ITER_FACTOR = 2      # round-0 cap = factor*spp + slack
+PASS1_ITER_SLACK = 4
+# Continuation rounds: (cap_factor, cap_slack, capacity_denominator); the
+# denominator divides the PADDED full-grid lane count for the state
+# entering that round.  Margins vs the measured survival curve are ~2x.
+EXTRA_ROUNDS = ((2, 2, 2), (2, 4, 4), (3, 5, 8), (4, 4, 16))
+FINAL_DENOM = 32           # capacity of the final uncapped round
 N_CONT = 12                # continuation-state rows: pix, o3, d3, thr3,
                            # sample, depth
 
 
-def _pass1_iters(spp: int) -> int:
-    return spp * PASS1_ITER_FACTOR + PASS1_ITER_SLACK
+def _round_schedule(spp_c: int, max_depth: int) -> tuple:
+    """Static (iter_cap, capacity_denominator) per round.  cap == bound
+    means uncapped (the kernel's while loop exits when all lanes finish).
+    Small configs (bound <= 2*cap0) render in one uncapped round."""
+    bound = spp_c * max_depth + 1
+    cap0 = spp_c * PASS1_ITER_FACTOR + PASS1_ITER_SLACK
+    if bound <= 2 * cap0:
+        return ((bound, 1),)
+    sched = [(cap0, 1)]
+    cum = cap0
+    for fac, slack, denom in EXTRA_ROUNDS:
+        if cum >= bound:
+            return tuple(sched)
+        cap = min(spp_c * fac + slack, bound)
+        sched.append((cap, denom))
+        cum += cap
+    if cum < bound:
+        sched.append((bound, FINAL_DENOM))
+    return tuple(sched)
+
+
+def _morton6(v):
+    """Spread each 6-bit int to every 3rd bit (3-D Morton interleave)."""
+    v = (v | (v << 8)) & 0x300F
+    v = (v | (v << 4)) & 0x30C3
+    return (v | (v << 2)) & 0x9249
+
+
+def _compact_state(state_flat, spp_c: int, n2: int):
+    """Sort the packed lane state so live lanes lead, keyed by Morton-
+    interleaved quantized origin + direction octant (128-lane rows in the
+    packed dispatch then share locality AND ray orientation, so the
+    per-row cluster gates and front-to-back entry-t culls keep firing),
+    and keep the first n2 (a TILE multiple <= lane count).  Returns
+    (state2 (N_CONT, n2//LANES, LANES), ok) where ok = no live lane was
+    dropped (capacity soundness; see module constants)."""
+    alive = (state_flat[10] < spp_c) & (state_flat[0] >= 0)
+    o = state_flat[1:4]
+    d = state_flat[4:7]
+    q = jnp.clip(((o / (1.0 + jnp.abs(o)) + 1.0)
+                  * 31.5).astype(jnp.int32), 0, 63)
+    morton = (_morton6(q[0]) | (_morton6(q[1]) << 1)
+              | (_morton6(q[2]) << 2))
+    octant = ((d[0] < 0).astype(jnp.int32)
+              + 2 * (d[1] < 0).astype(jnp.int32)
+              + 4 * (d[2] < 0).astype(jnp.int32))
+    key = jnp.where(alive, morton * 8 + octant, jnp.int32(2 ** 30))
+    order = jnp.argsort(key)
+    sel = order[:n2]
+    ok = jnp.sum(alive) <= n2
+    return state_flat[:, sel].reshape(N_CONT, n2 // LANES, LANES), ok
+
+
+def _round_capacity(p_tot: int, L: int, denom: int) -> int:
+    """Capacity (lane count) of a round: 1/denom of the FULL padded grid
+    (p_tot), tile-rounded, at least one tile, never more than the entering
+    state's lane count L."""
+    return min(L, max(TILE, -(-(p_tot // denom) // TILE) * TILE))
 
 # Extra camera-table slots for the uniform mesh material (after C_SKY2=21).
 (C_MA_R, C_MA_G, C_MA_B, C_M_FUZZ, C_M_IOR, C_M_INVIOR) = range(22, 28)
@@ -408,59 +472,75 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                                 t_num = prod[3 * chunk:4 * chunk, :]
                                 # Division-free scaled Moller-Trumbore:
                                 # with s = sign(a), u = u_num/a in [0,1]
-                                # <=> 0 <= u_num*s <= |a| etc.  One
-                                # approximate reciprocal orders t within
-                                # the chunk; the winner's t is Newton-
-                                # refined to full f32 (exact semantics,
-                                # ~30% fewer VPU ops/pair than the
-                                # divide form).
+                                # <=> 0 <= u_num*s <= |a| etc.  The
+                                # barycentric window folds to one min-
+                                # ladder (u<=|a| is implied by v>=0 and
+                                # u+v<=|a|), and the candidate test also
+                                # demands t < running-best (t_num*s <
+                                # old*|a|, still division-free) — the
+                                # whole winner extraction (reciprocals,
+                                # argmin, one-hot normal matmul) then
+                                # hides behind a per-row "any candidate
+                                # improves" gate, the common case being
+                                # a tested chunk with no improvement.
                                 sgn_a = jnp.sign(aa)
                                 abs_a = aa * sgn_a
                                 us = u_num * sgn_a
                                 vs = v_num * sgn_a
                                 ts = t_num * sgn_a
                                 gate = tri_sc[7, r1, :] > 0.0
-                                ok = ((abs_a >= 1e-5)          # TRI_EPS
-                                      & (us >= 0.0) & (us <= abs_a)
-                                      & (vs >= 0.0) & (us + vs <= abs_a)
-                                      & (ts > t_min * abs_a)
-                                      & gate)
-                                ra = pl.reciprocal(
-                                    jnp.maximum(abs_a, 1e-30), approx=True)
-                                # one Newton step: ~2^-24 relative, so the
-                                # in-chunk argmin ordering matches the
-                                # exact-divide fold
-                                ra = ra * (2.0 - abs_a * ra)
-                                tt = jnp.where(ok, ts * ra, BIG)
-                                ct_a = jnp.min(tt, axis=0, keepdims=True)
-                                ai = jnp.argmin(tt, axis=0)
-                                oh = (jax.lax.broadcasted_iota(
-                                    jnp.int32, (chunk, LANES), 0)
-                                    == ai[None, :]).astype(jnp.float32)
-                                # winner rows: [nx, ny, nz] via the weight
-                                # table + exact t via Newton-refined recip
-                                nrm = jax.lax.dot_general(
-                                    n_cols, oh, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                                ts_w = jnp.sum(ts * oh, axis=0,
-                                               keepdims=True)
-                                aa_w = jnp.sum(abs_a * oh, axis=0,
-                                               keepdims=True)
-                                ra_w = pl.reciprocal(
-                                    jnp.maximum(aa_w, 1e-30), approx=True)
-                                ra_w = ra_w * (2.0 - aa_w * ra_w)
-                                ra_w = ra_w * (2.0 - aa_w * ra_w)
-                                ct = jnp.where(ct_a < BIG, ts_w * ra_w,
-                                               BIG)
                                 old = tri_sc[0, r1, :]
-                                upd = ct < old
-                                tri_sc[0, r1, :] = jnp.where(upd, ct, old)
-                                tri_sc[1, r1, :] = jnp.where(
-                                    upd, nrm[0:1, :], tri_sc[1, r1, :])
-                                tri_sc[2, r1, :] = jnp.where(
-                                    upd, nrm[1:2, :], tri_sc[2, r1, :])
-                                tri_sc[3, r1, :] = jnp.where(
-                                    upd, nrm[2:3, :], tri_sc[3, r1, :])
+                                m3 = jnp.minimum(jnp.minimum(us, vs),
+                                                 abs_a - (us + vs))
+                                imp = ((abs_a >= 1e-5)          # TRI_EPS
+                                       & (m3 >= 0.0)
+                                       & (ts > t_min * abs_a)
+                                       & (ts < old * abs_a)
+                                       & gate)
+                                any_imp = jnp.max(imp.astype(jnp.int32))
+
+                                @pl.when(any_imp > 0)
+                                def _extract():
+                                    ra = pl.reciprocal(
+                                        jnp.maximum(abs_a, 1e-30),
+                                        approx=True)
+                                    # one Newton step: ~2^-24 relative, so
+                                    # the in-chunk argmin ordering matches
+                                    # the exact-divide fold
+                                    ra = ra * (2.0 - abs_a * ra)
+                                    tt = jnp.where(imp, ts * ra, BIG)
+                                    ct_a = jnp.min(tt, axis=0,
+                                                   keepdims=True)
+                                    ai = jnp.argmin(tt, axis=0)
+                                    oh = (jax.lax.broadcasted_iota(
+                                        jnp.int32, (chunk, LANES), 0)
+                                        == ai[None, :]).astype(jnp.float32)
+                                    # winner rows: [nx, ny, nz] via the
+                                    # weight table + exact t via Newton-
+                                    # refined reciprocal
+                                    nrm = jax.lax.dot_general(
+                                        n_cols, oh, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                                    ts_w = jnp.sum(ts * oh, axis=0,
+                                                   keepdims=True)
+                                    aa_w = jnp.sum(abs_a * oh, axis=0,
+                                                   keepdims=True)
+                                    ra_w = pl.reciprocal(
+                                        jnp.maximum(aa_w, 1e-30),
+                                        approx=True)
+                                    ra_w = ra_w * (2.0 - aa_w * ra_w)
+                                    ra_w = ra_w * (2.0 - aa_w * ra_w)
+                                    ct = jnp.where(ct_a < BIG, ts_w * ra_w,
+                                                   BIG)
+                                    upd = ct < old
+                                    tri_sc[0, r1, :] = jnp.where(upd, ct,
+                                                                 old)
+                                    tri_sc[1, r1, :] = jnp.where(
+                                        upd, nrm[0:1, :], tri_sc[1, r1, :])
+                                    tri_sc[2, r1, :] = jnp.where(
+                                        upd, nrm[1:2, :], tri_sc[2, r1, :])
+                                    tri_sc[3, r1, :] = jnp.where(
+                                        upd, nrm[2:3, :], tri_sc[3, r1, :])
                                 return 0
 
                             jax.lax.fori_loop(0, TILE_ROWS // ROW_GROUP,
@@ -758,27 +838,42 @@ def _mesh_tables(scene: Scene, plan):
 
 def render_pallas_mesh(scene: Scene, cfg: RenderConfig, seed: int = 0,
                        interpret: bool = False, rows: int | None = None,
-                       pix_offset=0):
+                       pix_offset=0, schedule: tuple | None = None):
     """Forward render via the fused mesh/HDR megakernel.
 
     Same contract as megakernel.render_pallas: ((rows or H), W, 3) f32 mean
     radiance, RNG/estimator semantics matching the jnp tracer.
+
+    schedule overrides the multi-round compaction ladder (static tuple of
+    (iter_cap, capacity_denominator); see _round_schedule).  If any round's
+    survivors exceed the next round's capacity (ok=False — capacities
+    carry ~2x margins, so essentially never), the render falls back to a
+    single uncapped full-grid round, which is always sound.
     """
     assert supports_mesh(scene, cfg), "megamesh: unsupported scene"
     from ..tracer.clusters import plan_for_scene
     plan = plan_for_scene(scene, MESH_CHUNK)
     flags = specialize_mesh_flags(scene)
     rows = rows if rows is not None else cfg.height
-    return _render_mesh_jit(scene, cfg, jnp.int32(seed), interpret, flags,
-                            plan, rows, jnp.int32(pix_offset))
+    img, ok = _render_mesh_jit(scene, cfg, jnp.int32(seed), interpret,
+                               flags, plan, rows, jnp.int32(pix_offset),
+                               schedule, True)
+    if not bool(ok):
+        img, _ = _render_mesh_jit(
+            scene, cfg, jnp.int32(seed), interpret, flags, plan, rows,
+            jnp.int32(pix_offset),
+            ((cfg.spp * cfg.max_depth + 1, 1),), True)
+    return img
 
 
 def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
-                             interpret, flags, plan, rows, pix_offset):
+                             interpret, flags, plan, rows, pix_offset,
+                             schedule=None, return_ok=False):
     """Trace-safe fused-kernel call (flags/plan precomputed concretely).
 
     pix_offset must be a whole-row offset (a multiple of width) — the
-    sharded entry point passes row-block offsets.
+    sharded entry point passes row-block offsets.  return_ok adds the
+    compaction-capacity soundness flag to the return value.
     """
     (has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type,
      sph_spec) = flags
@@ -795,6 +890,7 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
     acc = jnp.zeros((3, hp, wp), jnp.float32)
     sky_sum = jnp.zeros((hp, wp, 3), jnp.float32)
     spp_step = HDR_SPP_CHUNK if hdr else cfg.spp
+    ok = jnp.bool_(True)
 
     def sky_of_records(recs, spp_c):
         # sum_s throughput_s * sky(direction_s) with XLA's native gathers
@@ -807,67 +903,57 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
 
     for s_base in range(0, cfg.spp, spp_step):
         spp_c = min(spp_step, cfg.spp - s_base)
-        cap = _pass1_iters(spp_c)
-        two_pass = spp_c * cfg.max_depth + 1 > 2 * cap and n_chunks > 0
-        out = _dispatch(scene, cfg, seed, interpret, flags, rows,
-                        row_offset, s_base, spp_c, n_tr, n_tc, w_flat,
-                        aabb, boxes, n_chunks, chunk, bids, n_boxes,
-                        cam_tab, sph_tab, hdr,
-                        iter_cap=cap if two_pass else None,
-                        emit_state=two_pass)
-        out = list(out)
-        r, g, b = out[:3]
-        pos = 3
-        if hdr:
-            sky_sum = sky_sum + sky_of_records(out[pos],
-                                               spp_c).reshape(hp, wp, 3)
-            pos += 1
-        acc = acc + jnp.stack([r, g, b])
-
-        if two_pass:
-            # --- tail compaction: pack the surviving deep lanes (sorted
-            # by a spatial key so 128-lane rows regain cluster coherence)
-            # into a small dense dispatch ---
-            state = out[pos].reshape(N_CONT, hp * wp)
-            p_tot = hp * wp
-            alive = (state[10] < spp_c) & (state[0] >= 0)
-            o = state[1:4]
-            q = jnp.clip(((o / (1.0 + jnp.abs(o)) + 1.0)
-                          * 31.5).astype(jnp.int32), 0, 63)
-            key = jnp.where(alive, (q[0] * 64 + q[1]) * 64 + q[2],
-                            jnp.int32(2 ** 30))
-            order = jnp.argsort(key)
-            n2 = min(p_tot,
-                     -(-(p_tot // COMPACT_FRACTION) // TILE) * TILE)
-            sel = order[:n2]
-            state2 = state[:, sel].reshape(N_CONT, n2 // LANES, LANES)
-            out2 = _dispatch(scene, cfg, seed, interpret, flags, rows,
-                             row_offset, s_base, spp_c, n_tr, n_tc,
-                             w_flat, aabb, boxes, n_chunks, chunk, bids,
-                             n_boxes, cam_tab, sph_tab, hdr,
-                             state_in=state2)
-            pix2 = state2[0].reshape(-1).astype(jnp.int32)
-            ok2 = pix2 >= 0
-            pix_s = jnp.maximum(pix2, 0)
-            y2 = jnp.clip(pix_s // cfg.width - row_offset, 0, hp - 1)
-            x2 = jnp.clip(pix_s % cfg.width, 0, wp - 1)
-            okf = ok2.astype(jnp.float32)
-            if hdr:
-                r2, g2, b2, rec2 = out2
-                sky2 = sky_of_records(rec2, spp_c) * okf[:, None]
-                sky_sum = sky_sum.at[y2, x2].add(sky2)
+        bound = spp_c * cfg.max_depth + 1
+        if n_chunks > 0:
+            sched = (_round_schedule(spp_c, cfg.max_depth)
+                     if schedule is None else schedule)
+        else:
+            sched = ((bound, 1),)
+        state2 = None
+        out = None
+        for ri, (cap, denom) in enumerate(sched):
+            last = ri == len(sched) - 1
+            if ri > 0:
+                state_flat = out[-1].reshape(N_CONT, -1)
+                n2 = _round_capacity(hp * wp, state_flat.shape[1], denom)
+                state2, ok_r = _compact_state(state_flat, spp_c, n2)
+                ok = jnp.logical_and(ok, ok_r)
+            out = list(_dispatch(
+                scene, cfg, seed, interpret, flags, rows, row_offset,
+                s_base, spp_c, n_tr, n_tc, w_flat, aabb, boxes, n_chunks,
+                chunk, bids, n_boxes, cam_tab, sph_tab, hdr,
+                iter_cap=min(cap, bound), emit_state=not last,
+                state_in=state2))
+            r, g, b = out[:3]
+            recs = out[3] if hdr else None
+            if ri == 0:
+                acc = acc + jnp.stack([r, g, b])
+                if hdr:
+                    sky_sum = sky_sum + sky_of_records(
+                        recs, spp_c).reshape(hp, wp, 3)
             else:
-                r2, g2, b2 = out2
-            lane_rgb = jnp.stack([r2.reshape(-1), g2.reshape(-1),
-                                  b2.reshape(-1)], axis=-1) * okf[:, None]
-            acc = acc.transpose(1, 2, 0).at[y2, x2].add(
-                lane_rgb).transpose(2, 0, 1)
+                # scatter the packed round's contributions back by pixel id
+                pix2 = state2[0].reshape(-1).astype(jnp.int32)
+                ok2 = pix2 >= 0
+                pix_s = jnp.maximum(pix2, 0)
+                y2 = jnp.clip(pix_s // cfg.width - row_offset, 0, hp - 1)
+                x2 = jnp.clip(pix_s % cfg.width, 0, wp - 1)
+                okf = ok2.astype(jnp.float32)
+                if hdr:
+                    sky2 = sky_of_records(recs, spp_c) * okf[:, None]
+                    sky_sum = sky_sum.at[y2, x2].add(sky2)
+                lane_rgb = jnp.stack([r.reshape(-1), g.reshape(-1),
+                                      b.reshape(-1)],
+                                     axis=-1) * okf[:, None]
+                acc = acc.transpose(1, 2, 0).at[y2, x2].add(
+                    lane_rgb).transpose(2, 0, 1)
 
     img = acc.transpose(1, 2, 0)
     if hdr:
         img = img + sky_sum
     img = img * jnp.float32(1.0 / cfg.spp)
-    return img[:rows, :cfg.width]
+    img = img[:rows, :cfg.width]
+    return (img, ok) if return_ok else img
 
 
 def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
@@ -930,6 +1016,12 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
             out_specs.append(pl.BlockSpec((6 * spp_c, TILE_ROWS, LANES),
                                           lambda i: (0, i, 0),
                                           memory_space=pltpu.VMEM))
+        if emit_state:
+            out_shape.append(jax.ShapeDtypeStruct(
+                (N_CONT, lp, LANES), jnp.float32))
+            out_specs.append(pl.BlockSpec((N_CONT, TILE_ROWS, LANES),
+                                          lambda i: (0, i, 0),
+                                          memory_space=pltpu.VMEM))
     else:
         hp, wp = n_tr * TILE_ROWS, n_tc * LANES
         grid = (n_tr, n_tc)
@@ -964,4 +1056,5 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
 
 
 _render_mesh_jit = functools.partial(jax.jit, static_argnames=(
-    "cfg", "interpret", "flags", "plan", "rows"))(render_pallas_mesh_inner)
+    "cfg", "interpret", "flags", "plan", "rows", "schedule",
+    "return_ok"))(render_pallas_mesh_inner)

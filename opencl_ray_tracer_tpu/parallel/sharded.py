@@ -72,33 +72,47 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0,
             from ..tracer.clusters import plan_for_scene
             mesh_plan = plan_for_scene(scene, MESH_CHUNK)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(),),
-        out_specs=P(TILE_AXIS, None, None),
-        check_vma=False)
-    def _render(scene):
-        ti = jax.lax.axis_index(TILE_AXIS)
-        si = jax.lax.axis_index(SAMPLE_AXIS)
-        if pallas_kind == "sphere":
-            from ..kernels.megakernel import render_pallas_inner
-            return render_pallas_inner(
-                scene, cfg, seed, pallas_interpret, pallas_flags,
-                rows_per, ti * (rows_per * cfg.width))
-        if pallas_kind == "mesh":
-            from ..kernels.megamesh import render_pallas_mesh_inner
-            return render_pallas_mesh_inner(
-                scene, cfg, seed, pallas_interpret, pallas_flags,
-                mesh_plan, rows_per, ti * (rows_per * cfg.width))
-        hit_fn = hit_fn_factory(scene) if hit_fn_factory else None
-        img = render_rows(scene, cfg, ti * rows_per, rows_per,
-                          jnp.uint32(seed), sample_offset=si * spp_per,
-                          spp=spp_per, hit_fn=hit_fn)
-        # mean over the sample axis (each shard holds a disjoint global
-        # sample window of equal size).
-        return jax.lax.pmean(img, SAMPLE_AXIS)
+    def _make_render(mesh_schedule):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(),),
+            out_specs=(P(TILE_AXIS, None, None), P(TILE_AXIS)),
+            check_vma=False)
+        def _render(scene):
+            ti = jax.lax.axis_index(TILE_AXIS)
+            si = jax.lax.axis_index(SAMPLE_AXIS)
+            ok = jnp.ones((1,), bool)
+            if pallas_kind == "sphere":
+                from ..kernels.megakernel import render_pallas_inner
+                return render_pallas_inner(
+                    scene, cfg, seed, pallas_interpret, pallas_flags,
+                    rows_per, ti * (rows_per * cfg.width)), ok
+            if pallas_kind == "mesh":
+                from ..kernels.megamesh import render_pallas_mesh_inner
+                img, mok = render_pallas_mesh_inner(
+                    scene, cfg, seed, pallas_interpret, pallas_flags,
+                    mesh_plan, rows_per, ti * (rows_per * cfg.width),
+                    schedule=mesh_schedule, return_ok=True)
+                return img, mok.reshape(1)
+            hit_fn = hit_fn_factory(scene) if hit_fn_factory else None
+            img = render_rows(scene, cfg, ti * rows_per, rows_per,
+                              jnp.uint32(seed), sample_offset=si * spp_per,
+                              spp=spp_per, hit_fn=hit_fn)
+            # mean over the sample axis (each shard holds a disjoint global
+            # sample window of equal size).
+            return jax.lax.pmean(img, SAMPLE_AXIS), ok
+        return _render
 
-    return _render(scene)
+    img, oks = _make_render(None)(scene)
+    if (pallas_kind == "mesh" and not isinstance(oks, jax.core.Tracer)
+            and not bool(jnp.all(oks))):
+        # a compaction round overflowed its capacity (see megamesh
+        # _round_schedule): re-render each shard in one uncapped round.
+        # (Under an outer jit the flag is a tracer and the fallback is
+        # unavailable — capacities carry ~2x margins; callers who need the
+        # guarantee call eagerly, as render() does.)
+        img, _ = _make_render(((cfg.spp * cfg.max_depth + 1, 1),))(scene)
+    return img
 
 
 def render_sharded_jit(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0):

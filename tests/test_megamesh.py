@@ -95,39 +95,76 @@ def test_render_dispatch_routes_mesh_scene():
     assert np.abs(img_p - img_j).mean() < 1e-3
 
 
-def test_two_pass_tail_compaction_matches_single_pass():
-    """Pass-1 iteration cap + compacted continuation must reproduce the
+def _uncapped(cfg):
+    return ((cfg.spp * cfg.max_depth + 1, 1),)
+
+
+def test_two_round_tail_compaction_matches_single_pass():
+    """Iteration cap + compacted continuation must reproduce the
     single-pass image exactly (same draws, split accumulators)."""
-    import opencl_ray_tracer_tpu.kernels.megamesh as mm
     scene = _mesh_scene(sky=_hdr_sky())
     cfg = ort.RenderConfig(width=48, height=32, spp=3, max_depth=16)
     single = np.asarray(render_pallas_mesh(scene, cfg, seed=1,
-                                           interpret=True))
-    old = (mm.PASS1_ITER_FACTOR, mm.PASS1_ITER_SLACK, mm.COMPACT_FRACTION)
-    mm.PASS1_ITER_FACTOR, mm.PASS1_ITER_SLACK = 1, 2   # force the cap low
-    mm.COMPACT_FRACTION = 1                             # full capacity
-    try:
-        two = np.asarray(render_pallas_mesh(scene, cfg, seed=1,
-                                            interpret=True))
-    finally:
-        (mm.PASS1_ITER_FACTOR, mm.PASS1_ITER_SLACK,
-         mm.COMPACT_FRACTION) = old
+                                           interpret=True,
+                                           schedule=_uncapped(cfg)))
+    two = np.asarray(render_pallas_mesh(scene, cfg, seed=1, interpret=True,
+                                        schedule=((5, 1), (999, 1))))
     np.testing.assert_allclose(two, single, atol=1e-6)
 
 
-def test_two_pass_gradient_sky_matches():
-    import opencl_ray_tracer_tpu.kernels.megamesh as mm
+def test_multi_round_compaction_matches():
+    """Three capped rounds + uncapped finisher == single pass, including
+    the default-derived schedule."""
+    scene = _mesh_scene(sky=_hdr_sky())
+    cfg = ort.RenderConfig(width=48, height=32, spp=3, max_depth=16)
+    single = np.asarray(render_pallas_mesh(scene, cfg, seed=2,
+                                           interpret=True,
+                                           schedule=_uncapped(cfg)))
+    multi = np.asarray(render_pallas_mesh(
+        scene, cfg, seed=2, interpret=True,
+        schedule=((4, 1), (4, 1), (4, 1), (999, 1))))
+    np.testing.assert_allclose(multi, single, atol=1e-6)
+    default = np.asarray(render_pallas_mesh(scene, cfg, seed=2,
+                                            interpret=True))
+    np.testing.assert_allclose(default, single, atol=1e-6)
+
+
+def test_multi_round_gradient_sky_matches():
     scene = _mesh_scene()
     cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=12)
     single = np.asarray(render_pallas_mesh(scene, cfg, seed=2,
-                                           interpret=True))
-    old = (mm.PASS1_ITER_FACTOR, mm.PASS1_ITER_SLACK, mm.COMPACT_FRACTION)
-    mm.PASS1_ITER_FACTOR, mm.PASS1_ITER_SLACK = 1, 2
-    mm.COMPACT_FRACTION = 1
-    try:
-        two = np.asarray(render_pallas_mesh(scene, cfg, seed=2,
-                                            interpret=True))
-    finally:
-        (mm.PASS1_ITER_FACTOR, mm.PASS1_ITER_SLACK,
-         mm.COMPACT_FRACTION) = old
-    np.testing.assert_allclose(two, single, atol=1e-6)
+                                           interpret=True,
+                                           schedule=_uncapped(cfg)))
+    multi = np.asarray(render_pallas_mesh(scene, cfg, seed=2,
+                                          interpret=True,
+                                          schedule=((3, 1), (3, 1),
+                                                    (999, 1))))
+    np.testing.assert_allclose(multi, single, atol=1e-6)
+
+
+def test_compaction_overflow_falls_back():
+    """A schedule whose capacity can't hold the survivors must trip the
+    ok flag, and the public API must re-render soundly (single uncapped
+    round)."""
+    import jax.numpy as jnp
+    import opencl_ray_tracer_tpu.kernels.megamesh as mm
+    from opencl_ray_tracer_tpu.tracer.clusters import plan_for_scene
+    scene = _mesh_scene()
+    # 2 padded tiles (hp=128) so a denom-2 compaction has real capacity
+    # pressure: after 1 iteration nearly all 10240 live lanes survive,
+    # far more than the 8192-lane round-1 capacity.
+    cfg = ort.RenderConfig(width=128, height=80, spp=2, max_depth=10)
+    bad = ((1, 1), (999, 2))
+    plan = plan_for_scene(scene, mm.MESH_CHUNK)
+    flags = mm.specialize_mesh_flags(scene)
+    _, ok = mm.render_pallas_mesh_inner(
+        scene, cfg, jnp.int32(1), True, flags, plan, cfg.height,
+        jnp.int32(0), schedule=bad, return_ok=True)
+    assert not bool(ok), "expected a capacity overflow"
+    via_public = np.asarray(render_pallas_mesh(scene, cfg, seed=1,
+                                               interpret=True,
+                                               schedule=bad))
+    single = np.asarray(render_pallas_mesh(scene, cfg, seed=1,
+                                           interpret=True,
+                                           schedule=_uncapped(cfg)))
+    np.testing.assert_allclose(via_public, single, atol=1e-6)
