@@ -231,6 +231,17 @@ def sphere_winner_fold(n_spheres, sph_ref, shape, zero, sphere_test,
         best_t = jnp.minimum(t_i, best_t)
         best_i = jnp.where(upd, i, best_i)
 
+    gather = make_winner_gather(best_i, sph_ref, shape, zero, n_spheres,
+                                sphere_spec)
+    return best_t, best_i, gather
+
+
+def make_winner_gather(best_i, sph_ref, shape, zero, n_spheres,
+                       sphere_spec, float_index: bool = False):
+    """Winner-attribute gather factory over a winner-index array (int32,
+    or f32 exact small ints with float_index).  With a sphere_spec the
+    folds are SPARSE (majority-default; see sphere_winner_fold)."""
+    cast = (lambda i: float(i)) if float_index else (lambda i: i)
     if sphere_spec is not None:
         types, fold_fields = sphere_spec
         spec_by_field = {f: (d, m) for f, d, m in fold_fields}
@@ -244,23 +255,23 @@ def sphere_winner_fold(n_spheres, sph_ref, shape, zero, sphere_test,
                 v = jnp.full(shape, float(majority_type))
                 for i in range(n_spheres):
                     if types[i] != majority_type:
-                        v = jnp.where(best_i == i,
+                        v = jnp.where(best_i == cast(i),
                                       jnp.float32(types[i]), v)
                 return v
             dflt_idx, mask = spec_by_field[field]
             v = sph_ref[field, dflt_idx] + zero
             for i in range(n_spheres):
                 if mask[i]:
-                    v = jnp.where(best_i == i, sph_ref[field, i], v)
+                    v = jnp.where(best_i == cast(i), sph_ref[field, i], v)
             return v
     else:
         def gather(field, init=0.0):
             v = jnp.full(shape, init, jnp.float32)
             for i in range(n_spheres):
-                v = jnp.where(best_i == i, sph_ref[field, i], v)
+                v = jnp.where(best_i == cast(i), sph_ref[field, i], v)
             return v
 
-    return best_t, best_i, gather
+    return gather
 
 
 def _make_kernel(n_spheres: int, width: int, height: int,
@@ -705,14 +716,49 @@ def _fold_entry(field, vals, relevant):
     return (field, default_idx, differing)
 
 
-def _sphere_fold_spec(scene: Scene):
+def sphere_chunk_plan(scene: Scene, size: int = SPHERE_GROUP_SIZE):
+    """Near-to-far spatial chunking of the sphere table for gated folds:
+    (perm, spans) where perm reorders spheres into spatially-compact runs
+    (median-split, tracer/clusters._bvh_order) and spans lists contiguous
+    (start, end) chunks of the PERMUTED table, sorted by distance from the
+    camera (the running best t then screens far chunks via entry-t)."""
+    n = scene.spheres.count
+    from ..tracer.clusters import _bvh_order
+    centers = np.asarray(scene.spheres.center)
+    radii = np.asarray(scene.spheres.radius)
+    runs = _bvh_order(np.arange(n, dtype=np.int32), centers, size)
+    order = np.concatenate(runs)
+    spans = [(s, min(n, s + size)) for s in range(0, n, size)]
+    eye = np.asarray(scene.camera.look_from)
+    key = [float((np.linalg.norm(centers[order[a:b]] - eye, axis=1)
+                  - radii[order[a:b]]).min()) for a, b in spans]
+    spans = [spans[i] for i in np.argsort(key)]
+    order = np.concatenate([order[a:b] for a, b in spans])
+    out_spans = []
+    s0 = 0
+    for a, b in spans:
+        out_spans.append((s0, s0 + (b - a)))
+        s0 += b - a
+    return tuple(int(i) for i in order), tuple(out_spans)
+
+
+def _sphere_fold_spec(scene: Scene, perm=None):
     """Static per-sphere specialization for the register-fold winner path:
     (types, fold_fields) where types is the per-sphere material class and
     fold_fields lists (field, default_idx, fold_mask) for each attribute
     the kernel must carry.  A field is only folded for spheres whose value
     differs from the scene majority AND whose material class can read it
-    (fuzz: metals; ior: dielectrics; albedo: non-dielectrics)."""
+    (fuzz: metals; ior: dielectrics; albedo: non-dielectrics).
+
+    perm (from sphere_chunk_plan) builds the spec in PERMUTED table order
+    so it matches a chunk-ordered sphere table."""
     s = scene.spheres
+    if perm is not None:
+        import dataclasses as _dc
+        p = np.asarray(perm, np.int32)
+        s = _dc.replace(
+            s, center=s.center[p], radius=s.radius[p], albedo=s.albedo[p],
+            fuzz=s.fuzz[p], ior=s.ior[p], mat_type=s.mat_type[p])
     types = tuple(int(t) for t in np.asarray(s.mat_type))
     t_arr = np.asarray(s.mat_type)
     is_metal = t_arr == mat.METAL

@@ -57,8 +57,10 @@ from ..scene import materials as mat
 from ..scene.sky import KIND_CONST, KIND_GRADIENT, KIND_HDR
 from ..tracer import mesh_accel as ma
 from .megakernel import (BIG, LANES, N_FIELDS, TWO_PI, _U32, _camera_table,
-                         _dot3, _sphere_fold_spec, _sphere_table,
-                         _uniform4, scatter_block, sphere_winner_fold,
+                         _dot3, _sphere_fold_spec, _sphere_group_aabbs,
+                         _sphere_table, sphere_chunk_plan,
+                         _uniform4, make_winner_gather, scatter_block,
+                         sphere_winner_fold,
                          F_CX, F_CY, F_CZ, F_ALR, F_ALG, F_ALB, F_FUZZ,
                          F_IOR, F_TYPE, F_R2, F_INVR, F_INVIOR,
                          C_OX, C_OY, C_OZ, C_HX, C_HY, C_HZ, C_VX, C_VY,
@@ -73,6 +75,20 @@ MESH_CHUNK = 1024          # triangles per cluster chunk (measured best on
                            # gates vs coarser culling)
 ROW_GROUP = 8              # rows per gating group in the intersection loop
 HDR_SPP_CHUNK = 8          # samples per dispatch in HDR mode (records)
+SPHERE_CHUNK_MIN = 24      # sphere count above which sphere-only scenes
+                           # route through this kernel: its 2-D image
+                           # tiles + multi-round compaction beat the
+                           # linear-tile megakernel (book-cover 250spp/d50
+                           # measured: megakernel 1.84 s -> 0.93 s here)
+# Chunk-gated sphere fold (near-to-far spatial chunks with SMEM AABBs,
+# entry-t culled per bounce): measured SLOWER than the plain fold under
+# the same multi-round schedule (book-cover 1.13 s vs 0.93 s — slab tests
+# + scratch round-trips exceed the skipped sphere tests, the third
+# grouped-fold variant to lose this way; see megakernel.SPHERE_GROUP_MIN).
+# Disabled by default; the code path stays tested for spatially sparse
+# scenes where callers can lower the threshold.
+SPHERE_GATE_MIN = 10 ** 9
+SPHERE_CHUNK_SIZE = 16
 
 # Multi-round tail compaction: round 0 runs the full-grid wavefront for at
 # most cap0 iterations; survivors — deep ground<->car interreflection
@@ -104,8 +120,23 @@ N_CONT = 12                # continuation-state rows: pix, o3, d3, thr3,
 def _round_schedule(spp_c: int, max_depth: int) -> tuple:
     """Static (iter_cap, capacity_denominator) per round.  cap == bound
     means uncapped (the kernel's while loop exits when all lanes finish).
-    Small configs (bound <= 2*cap0) render in one uncapped round."""
+    Small configs (bound <= 2*cap0) render in one uncapped round.
+
+    High sample counts get a different ladder: a lane's total iterations
+    are the SUM of spp path lengths, which concentrates around the PIXEL's
+    mean path length as spp grows — so the tail is spatial (pixels on
+    glass have long paths every sample), wide but quickly-decaying in cap
+    (book-cover measured survival at 250 spp/d50: 2.8x spp -> 25%,
+    4x -> 8%, 5.6x -> 1.5%, 8x -> 0.4%).  Caps scale ~linearly in spp
+    with ~2-4x capacity margins against that curve."""
     bound = spp_c * max_depth + 1
+    if spp_c >= 64:
+        c0 = int(2.8 * spp_c) + 8
+        if bound <= 2 * c0:
+            return ((bound, 1),)
+        return ((c0, 1), (int(1.2 * spp_c) + 8, 2),
+                (int(1.6 * spp_c) + 8, 4), (int(2.4 * spp_c) + 8, 16),
+                (bound, 64))
     cap0 = spp_c * PASS1_ITER_FACTOR + PASS1_ITER_SLACK
     if bound <= 2 * cap0:
         return ((bound, 1),)
@@ -177,7 +208,8 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                  n_chunks: int, chunk: int, chunk_box_ids: tuple,
                  n_boxes: int, mesh_mtype: int,
                  continuation: bool = False, iter_cap: int | None = None,
-                 emit_state: bool = False, sphere_spec=None):
+                 emit_state: bool = False, sphere_spec=None,
+                 sph_chunks=None):
     """Kernel body with all structure baked statically.
 
     spp here is the per-dispatch sample count (HDR chunks the sample loop).
@@ -190,7 +222,7 @@ def _make_kernel(n_spheres: int, width: int, height: int,
     c4 = 4 * chunk
 
     def kernel(off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
-               *io):
+               sph_box_ref, *io):
         pos = 0
         if continuation:
             state_in = io[0]
@@ -355,24 +387,10 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                 valid = (disc >= 0.0) & (t_sel >= t_min)
                 return jnp.where(valid, t_sel, BIG)
 
-            best_t, best_i, gather = sphere_winner_fold(
-                n_spheres, sph_ref, shape, zero, sphere_test, sphere_spec)
-
-            # ---- closest hit over triangle clusters (MXU fold) ----
-            tri_sc[0] = jnp.full(shape, BIG)     # best tri t
-            tri_sc[1] = zero                      # raw normal x
-            tri_sc[2] = zero
-            tri_sc[3] = one                       # safe nonzero normal
-
-            if n_chunks > 0:
+            if n_chunks > 0 or sph_chunks is not None:
                 inv_dx = 1.0 / dx
                 inv_dy = 1.0 / dy
                 inv_dz = 1.0 / dz
-                # m = o x d (ray Plucker features) — staged through scratch
-                # so the per-row fori_loop can slice them dynamically
-                tri_sc[4] = oy * dz - oz * dy
-                tri_sc[5] = oz * dx - ox * dz
-                tri_sc[6] = ox * dy - oy * dx
 
                 def slab(bref, b):
                     """Per-lane AABB slab test (HitBoundingBox,
@@ -392,6 +410,53 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                                                  jnp.maximum(t1y, t2y)),
                                      jnp.maximum(t1z, t2z))
                     return hi > jnp.maximum(lo, 0.0), lo
+
+            # ---- closest hit over spheres ----
+            if sph_chunks is None:
+                best_t, best_i, gather = sphere_winner_fold(
+                    n_spheres, sph_ref, shape, zero, sphere_test,
+                    sphere_spec)
+            else:
+                # chunked fold: near-to-far spatial chunks (SMEM AABBs),
+                # a chunk is skipped unless some live lane's ray enters
+                # its box closer than the running best t.  Only
+                # (t, winner) live in scratch; attribute gathers run on
+                # the final winner (sparse majority-default folds).
+                tri_sc[8] = jnp.full(shape, BIG)
+                tri_sc[9] = zero
+                for sci, (c0, c1) in enumerate(sph_chunks):
+                    s_hit, s_lo = slab(sph_box_ref, sci)
+                    m_c = s_hit & (s_lo < tri_sc[8]) & active
+                    s_any = jnp.max(m_c.astype(jnp.int32))
+
+                    @pl.when(s_any > 0)
+                    def _sph_chunk(c0=c0, c1=c1, m_c=m_c):
+                        bt = tri_sc[8]
+                        bi = tri_sc[9]
+                        for i in range(c0, c1):
+                            t_i = sphere_test(i)
+                            upd = (t_i < bt) & m_c
+                            bt = jnp.where(upd, t_i, bt)
+                            bi = jnp.where(upd, float(i), bi)
+                        tri_sc[8] = bt
+                        tri_sc[9] = bi
+                best_t = tri_sc[8]
+                gather = make_winner_gather(tri_sc[9], sph_ref, shape,
+                                            zero, n_spheres, sphere_spec,
+                                            float_index=True)
+
+            # ---- closest hit over triangle clusters (MXU fold) ----
+            tri_sc[0] = jnp.full(shape, BIG)     # best tri t
+            tri_sc[1] = zero                      # raw normal x
+            tri_sc[2] = zero
+            tri_sc[3] = one                       # safe nonzero normal
+
+            if n_chunks > 0:
+                # m = o x d (ray Plucker features) — staged through scratch
+                # so the per-row fori_loop can slice them dynamically
+                tri_sc[4] = oy * dz - oz * dy
+                tri_sc[5] = oz * dx - ox * dz
+                tri_sc[6] = ox * dy - oy * dx
 
                 box_hits = [slab(box_ref, b)[0] & active
                             for b in range(n_boxes)]
@@ -748,12 +813,16 @@ def supports_mesh(scene: Scene, cfg: RenderConfig) -> bool:
     Conditions: <=128 spheres; triangles (if any) carry one uniform
     material and at least one gating box; HDR skies must be tone-mapped
     (max < 1) and all albedos <= 1 so the per-sample clamp is a no-op for
-    deferred sky contributions (see module docstring).
+    deferred sky contributions (see module docstring).  Sphere-only
+    gradient/const-sky scenes are covered from SPHERE_CHUNK_MIN spheres up
+    (chunked gated fold + 2-D tiles + multi-round compaction beat the
+    megakernel there; render() dispatches here first).
     """
     if scene.spheres.count > 128:
         return False
-    if scene.triangles.count == 0 and scene.sky.kind != KIND_HDR:
-        return False      # plain sphere scenes use kernels/megakernel.py
+    if (scene.triangles.count == 0 and scene.sky.kind != KIND_HDR
+            and scene.spheres.count < SPHERE_CHUNK_MIN):
+        return False      # small sphere scenes use kernels/megakernel.py
     if scene.triangles.count > 0:
         if scene.boxes.count < 1:
             return False
@@ -789,9 +858,14 @@ def specialize_mesh_flags(scene: Scene):
     s_fuzz = bool((fuzz[types == mat.METAL] > 0).any()) \
         if (types == mat.METAL).any() else False
     has_fuzz = s_fuzz or (m_type == mat.METAL and m_fuzz > 0)
-    spec = _sphere_fold_spec(scene) if scene.spheres.count > 0 else None
+    sph_plan = None
+    if scene.spheres.count >= SPHERE_GATE_MIN:
+        sph_plan = sphere_chunk_plan(scene, SPHERE_CHUNK_SIZE)
+    perm = sph_plan[0] if sph_plan is not None else None
+    spec = (_sphere_fold_spec(scene, perm) if scene.spheres.count > 0
+            else None)
     return (has_metal, has_diel, has_emit, has_fuzz, aperture > 0.0,
-            m_type, spec)
+            m_type, spec, sph_plan)
 
 
 def _mesh_camera_table(scene: Scene):
@@ -876,7 +950,7 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
     compaction-capacity soundness flag to the return value.
     """
     (has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type,
-     sph_spec) = flags
+     sph_spec, sph_plan) = flags
     hdr = scene.sky.kind == KIND_HDR
     n_tr = -(-rows // TILE_ROWS)
     n_tc = -(-cfg.width // LANES)
@@ -884,7 +958,8 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
     w_flat, aabb, boxes, n_chunks, chunk, bids = _mesh_tables(scene, plan)
     n_boxes = max(1, scene.boxes.count)
     cam_tab = _mesh_camera_table(scene)
-    sph_tab = _sphere_table(scene)
+    sph_tab = _sphere_table(scene,
+                            sph_plan[0] if sph_plan is not None else None)
     row_offset = pix_offset // cfg.width
 
     acc = jnp.zeros((3, hp, wp), jnp.float32)
@@ -904,9 +979,10 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
     for s_base in range(0, cfg.spp, spp_step):
         spp_c = min(spp_step, cfg.spp - s_base)
         bound = spp_c * cfg.max_depth + 1
-        if n_chunks > 0:
-            sched = (_round_schedule(spp_c, cfg.max_depth)
-                     if schedule is None else schedule)
+        if schedule is not None:
+            sched = schedule
+        elif n_chunks > 0 or scene.spheres.count >= SPHERE_CHUNK_MIN:
+            sched = _round_schedule(spp_c, cfg.max_depth)
         else:
             sched = ((bound, 1),)
         state2 = None
@@ -961,7 +1037,14 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
               chunk, bids, n_boxes, cam_tab, sph_tab, hdr,
               iter_cap=None, emit_state=False, state_in=None):
     (has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type,
-     sph_spec) = flags
+     sph_spec, sph_plan) = flags
+    sph_chunks = sph_plan[1] if sph_plan is not None else None
+    if sph_plan is not None:
+        sph_box = _sphere_group_aabbs(
+            scene, sph_plan[0],
+            tuple(tuple(range(a, b)) for a, b in sph_chunks))
+    else:
+        sph_box = jnp.zeros((1, 6), jnp.float32)
     continuation = state_in is not None
     kernel = _make_kernel(
         n_spheres=scene.spheres.count, width=cfg.width, height=cfg.height,
@@ -971,7 +1054,8 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
         has_emit=has_emit, has_fuzz=has_fuzz, has_aperture=has_aperture,
         n_chunks=n_chunks, chunk=chunk, chunk_box_ids=bids,
         n_boxes=n_boxes, mesh_mtype=m_type, continuation=continuation,
-        iter_cap=iter_cap, emit_state=emit_state, sphere_spec=sph_spec)
+        iter_cap=iter_cap, emit_state=emit_state, sphere_spec=sph_spec,
+        sph_chunks=sph_chunks)
 
     in_specs = [
         pl.BlockSpec((1, 4), lambda *_: (0, 0), memory_space=pltpu.SMEM),
@@ -983,17 +1067,18 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster AABBs
         pl.BlockSpec(memory_space=pltpu.SMEM),   # top boxes
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere-chunk AABBs
     ]
     operands = [
         jnp.stack([jnp.int32(row_offset), jnp.int32(seed),
                    jnp.int32(s_base),
                    jnp.int32(row_offset) + jnp.int32(rows)]).reshape(1, 4),
-        cam_tab, sph_tab, w_flat, aabb, boxes,
+        cam_tab, sph_tab, w_flat, aabb, boxes, sph_box,
     ]
     scratch = [
         pltpu.VMEM((N_STATE, TILE_ROWS, LANES), jnp.float32),
         pltpu.VMEM((3, TILE_ROWS, LANES), jnp.float32),
-        pltpu.VMEM((8, TILE_ROWS, LANES), jnp.float32),
+        pltpu.VMEM((10, TILE_ROWS, LANES), jnp.float32),
     ]
 
     if continuation:

@@ -59,18 +59,20 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0,
         from ..kernels.megakernel import specialize_flags, supports
         from ..kernels.megamesh import (MESH_CHUNK, specialize_mesh_flags,
                                         supports_mesh)
-        # flags/plan need a concrete scene; inside shard_map it is traced
-        if supports(scene, cfg):
-            pallas_kind = "sphere"
-            pallas_flags = specialize_flags(scene)
-            mesh_plan = None
-        else:
-            assert supports_mesh(scene, cfg), \
-                "pallas sharded render: unsupported scene"
+        # flags/plan need a concrete scene; inside shard_map it is traced.
+        # megamesh first (it also owns large sphere-only scenes), matching
+        # render()'s dispatch.
+        if supports_mesh(scene, cfg):
             pallas_kind = "mesh"
             pallas_flags = specialize_mesh_flags(scene)
             from ..tracer.clusters import plan_for_scene
             mesh_plan = plan_for_scene(scene, MESH_CHUNK)
+        else:
+            assert supports(scene, cfg), \
+                "pallas sharded render: unsupported scene"
+            pallas_kind = "sphere"
+            pallas_flags = specialize_flags(scene)
+            mesh_plan = None
 
     def _make_render(mesh_schedule):
         @functools.partial(

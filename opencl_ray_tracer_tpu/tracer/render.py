@@ -148,14 +148,16 @@ def render(scene: Scene, cfg: RenderConfig, seed: int = 0,
                                    progress_blocks)
     if cfg.backend in ("pallas", "auto"):
         from ..kernels.megakernel import render_pallas, supports
-        on_tpu = jax.default_backend() in ("tpu",)
-        if supports(scene, cfg) and (cfg.backend == "pallas" or on_tpu):
-            return render_pallas(scene, cfg, seed=seed,
-                                 interpret=not on_tpu)
         from ..kernels.megamesh import render_pallas_mesh, supports_mesh
+        on_tpu = jax.default_backend() in ("tpu",)
+        # megamesh first: it also owns large sphere-only scenes (chunked
+        # gated fold + 2-D tiles + multi-round compaction)
         if supports_mesh(scene, cfg) and (cfg.backend == "pallas" or on_tpu):
             return render_pallas_mesh(scene, cfg, seed=seed,
                                       interpret=not on_tpu)
+        if supports(scene, cfg) and (cfg.backend == "pallas" or on_tpu):
+            return render_pallas(scene, cfg, seed=seed,
+                                 interpret=not on_tpu)
     chunk = cfg.row_chunk or cfg.height
     if (cfg.row_chunk is None and scene.triangles.count > 0
             and jax.default_backend() != "tpu"):
@@ -203,12 +205,12 @@ def _render_progressive(scene: Scene, cfg: RenderConfig, seed, progress,
         if cfg.backend == "pallas" or on_tpu:
             from ..kernels.megakernel import render_pallas, supports
             from ..kernels.megamesh import render_pallas_mesh, supports_mesh
-            if supports(scene, cfg):
-                use_kernel = lambda r0, n: render_pallas(
+            if supports_mesh(scene, cfg):
+                use_kernel = lambda r0, n: render_pallas_mesh(
                     scene, cfg, seed=seed, interpret=interp, rows=n,
                     pix_offset=r0 * w)
-            elif supports_mesh(scene, cfg):
-                use_kernel = lambda r0, n: render_pallas_mesh(
+            elif supports(scene, cfg):
+                use_kernel = lambda r0, n: render_pallas(
                     scene, cfg, seed=seed, interpret=interp, rows=n,
                     pix_offset=r0 * w)
     mesh_plan = None

@@ -77,6 +77,9 @@ def test_supports_predicate():
     cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4)
     assert not supports_mesh(ort.readme_scene(), cfg)  # megakernel's turf
     assert supports_mesh(_mesh_scene(), cfg)
+    # large sphere-only scenes route here (2-D tiles + multi-round beat
+    # the linear-tile megakernel)
+    assert supports_mesh(ort.book_cover_scene(), cfg)
     # untone-mapped sky (values > 1) must fall back to the jnp path: the
     # per-sample clamp would no longer be a no-op for deferred misses
     import jax.numpy as jnp
@@ -140,6 +143,37 @@ def test_multi_round_gradient_sky_matches():
                                           schedule=((3, 1), (3, 1),
                                                     (999, 1))))
     np.testing.assert_allclose(multi, single, atol=1e-6)
+
+
+def test_book_cover_routes_to_megamesh_and_matches():
+    """100-sphere scene through this kernel (multi-round schedule) must be
+    bit-identical to the megakernel's fold (same math, same draws)."""
+    from opencl_ray_tracer_tpu.kernels.megakernel import render_pallas
+    scene = ort.book_cover_scene()
+    cfg = ort.RenderConfig(width=64, height=48, spp=3, max_depth=8)
+    assert supports_mesh(scene, cfg)
+    img_m = np.asarray(render_pallas_mesh(scene, cfg, seed=5,
+                                          interpret=True))
+    img_k = np.asarray(render_pallas(scene, cfg, seed=5, interpret=True))
+    np.testing.assert_allclose(img_m, img_k, atol=1e-6)
+
+
+def test_chunk_gated_sphere_fold_matches():
+    """The chunk-gated sphere fold (disabled by default; see
+    SPHERE_GATE_MIN) must agree with the plain fold."""
+    import opencl_ray_tracer_tpu.kernels.megamesh as mm
+    scene = ort.book_cover_scene()
+    cfg = ort.RenderConfig(width=64, height=48, spp=2, max_depth=6)
+    plain = np.asarray(render_pallas_mesh(scene, cfg, seed=9,
+                                          interpret=True))
+    old = mm.SPHERE_GATE_MIN
+    mm.SPHERE_GATE_MIN = 8
+    try:
+        gated = np.asarray(render_pallas_mesh(scene, cfg, seed=9,
+                                              interpret=True))
+    finally:
+        mm.SPHERE_GATE_MIN = old
+    np.testing.assert_allclose(gated, plain, atol=1e-6)
 
 
 def test_compaction_overflow_falls_back():
