@@ -40,6 +40,16 @@ differentiable scene tables directly on-chip:
   compiles exact hand-free adjoint code.  The interior-derivative
   convention (gradients flow through the argmin-selected branch only)
   falls out of the ``jnp.where`` folds, matching the jnp tracer's VJP.
+- **Winner-only reverse bounce.**  Differentiating the full intersection
+  argmin loop leaves O(n_spheres) tile-sized vjp residuals live across
+  the reverse step — 100-sphere scenes overflow the 16 MB scoped-VMEM
+  limit (measured: 16.23 MB at (32,128) tiles).  The reverse bounce
+  (``winner_bounce``) instead runs the argmin on stop_gradient'ed
+  inputs, gathers the WINNER's parameters with linear one-hot folds
+  (whose transpose produces the per-sphere scalar cotangents), and
+  recomputes t from them with the argmin loop's exact expressions —
+  bitwise-equal primals, identical gradients, O(1) residuals in the
+  sphere count (same idea as tracer/diffhit.py's winner-only hit).
 - **Scalar primals, no scatters.**  Mosaic cannot lower scatter-add — the
   transpose of an integer table read — so every camera/sphere table entry
   is read ONCE into a scalar outside the differentiated function and
@@ -103,10 +113,13 @@ N_REC = 11         # ox,oy,oz,dx,dy,dz,tr,tg,tb,sample,depth per record
 # under 6 MB at (16, 128) tiles and the abandoned-path waste ~4%.
 MIN_SLOTS = 64
 
-# Per-sphere scalar cotangents are carried as individual values; bound the
-# sphere count so the reduce/select overhead stays small.  Larger scenes
-# fall back to the jnp VJP (tracer/render.render_grad_sampled).
-GRAD_MAX_SPHERES = 32
+# Per-sphere scalar cotangents are carried as individual values (the
+# reduce/select overhead grows with the count); the cap sits at the
+# forward megakernel's 128-sphere scope — far faster than the jnp
+# winner-only VJP fallback even at 100 spheres (see docs/ARCHITECTURE.md
+# perf table).  Large tables also halve the tile (VMEM; see
+# _grad_tables_inner).
+GRAD_MAX_SPHERES = 128
 
 # Differentiable sphere-table rows (order = accumulator row order).
 DIFF_FIELDS = (F_CX, F_CY, F_CZ, F_R2, F_INVR, F_ALR, F_ALG, F_ALB,
@@ -128,35 +141,21 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                       sky_kind: int, clamp_samples: bool,
                       has_metal: bool, has_diel: bool, has_emit: bool,
                       has_fuzz: bool, has_aperture: bool,
-                      n_slots: int = MIN_SLOTS):
+                      n_slots: int = MIN_SLOTS,
+                      tile_rows: int = TILE_ROWS):
     """Backward kernel body; all config static.  NaN policy is always
     "zero" (order-invariant; see module docstring).  n_slots = record-ring
     depth (>= max_depth for forward progress)."""
     fi = {f: p for p, f in enumerate(DIFF_FIELDS)}
     ci = {c: p for p, c in enumerate(CAM_SLOTS)}
 
-    def bounce_fn(cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz, tr, tg, tb,
-                  active, term_allowed, a0, a1, a2, a3, b0, b1):
-        """One differentiable bounce: (state) -> (state', contribution).
-
-        cam_s: tuple of camera-table scalars (CAM_SLOTS order); sph_s:
-        tuple (per DIFF_FIELDS) of per-sphere scalar tuples — the
-        differentiation targets.  mtypes: non-diff per-sphere material
-        floats.  Mirrors kernels/megakernel.py's body
-        (gpu_kernel.cl:266-348 semantics) minus regeneration.
-        """
+    def _intersect(sph_s, ox, oy, oz, dx, dy, dz, a, inv_a):
+        """Closest-hit argmin over the sphere table (first-min ties, the
+        forward megakernel's semantics).  Returns (best_t, best_i)."""
         shape = ox.shape
-
-        def cam(slot):
-            return cam_s[ci[slot]]
 
         def sv(field, i):
             return sph_s[fi[field]][i]
-
-        a = _dot3(dx, dy, dz, dx, dy, dz)
-        inv_a = 1.0 / a
-        inv_len = jax.lax.rsqrt(a)
-        zero = jnp.zeros(shape, jnp.float32)
 
         best_t = jnp.full(shape, BIG)
         best_i = jnp.zeros(shape, jnp.int32)
@@ -176,29 +175,29 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             upd = t_i < best_t
             best_t = jnp.where(upd, t_i, best_t)
             best_i = jnp.where(upd, i, best_i)
+        return best_t, best_i
 
-        def gather(field, init=0.0):
-            v = jnp.full(shape, init, jnp.float32)
-            for i in range(n_spheres):
-                v = jnp.where(best_i == i, sv(field, i), v)
-            return v
+    def shade(cam_s, ox, oy, oz, dx, dy, dz, tr, tg, tb,
+              active, term_allowed, a0, a1, a2, a3, b0, b1,
+              inv_a, inv_len, hit, best_t,
+              scx, scy, scz, inv_r, alr, alg, alb,
+              fuzz_fn, ior_fn, invior_fn, mtype):
+        """Hit-point/normal/scatter/contribution given resolved winner
+        fields — the differentiable tail shared by the fill bounce (loop
+        gathers) and the reverse bounce (winner-only gathers).  Mirrors
+        kernels/megakernel.py's body (gpu_kernel.cl:266-348 semantics)
+        minus regeneration.
+        """
+        shape = ox.shape
 
-        hit = best_t < BIG
+        def cam(slot):
+            return cam_s[ci[slot]]
+
+        zero = jnp.zeros(shape, jnp.float32)
         t_safe = jnp.where(hit, best_t, 1.0)
         hx = ox + t_safe * dx
         hy = oy + t_safe * dy
         hz = oz + t_safe * dz
-
-        scx = gather(F_CX)
-        scy = gather(F_CY)
-        scz = gather(F_CZ)
-        inv_r = gather(F_INVR, 1.0)
-        alr = gather(F_ALR)
-        alg = gather(F_ALG)
-        alb = gather(F_ALB)
-        mtype = jnp.full(shape, -1.0, jnp.float32)
-        for i in range(n_spheres):
-            mtype = jnp.where(best_i == i, mtypes[i], mtype)
 
         nx = (hx - scx) * inv_r
         ny = (hy - scy) * inv_r
@@ -213,9 +212,7 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
          absorbed) = scatter_block(
             shape, dx, dy, dz, inv_len, nx, ny, nz, front,
             alr, alg, alb, mtype,
-            lambda: gather(F_FUZZ),
-            lambda: gather(F_IOR),
-            lambda: gather(F_INVIOR, 1.0),
+            fuzz_fn, ior_fn, invior_fn,
             a0, a1, a2, a3, b0, b1,
             has_metal, has_diel, has_fuzz)
 
@@ -266,11 +263,123 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         return (o2x, o2y, o2z, d2x, d2y, d2z, t2r, t2g, t2b,
                 c_r, c_g, c_b, cont)
 
+    def bounce_fn(cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz, tr, tg, tb,
+                  active, term_allowed, a0, a1, a2, a3, b0, b1):
+        """One full bounce (state -> state', contribution) — the FILL-loop
+        path: intersection argmin + loop gathers + shade.  Runs outside
+        any vjp, so its O(n_spheres) intermediates carry no residuals."""
+        shape = ox.shape
+
+        def sv(field, i):
+            return sph_s[fi[field]][i]
+
+        a = _dot3(dx, dy, dz, dx, dy, dz)
+        inv_a = 1.0 / a
+        inv_len = jax.lax.rsqrt(a)
+        best_t, best_i = _intersect(sph_s, ox, oy, oz, dx, dy, dz,
+                                    a, inv_a)
+        hit = best_t < BIG
+
+        def gather(field, init=0.0):
+            v = jnp.full(shape, init, jnp.float32)
+            for i in range(n_spheres):
+                v = jnp.where(best_i == i, sv(field, i), v)
+            return v
+
+        mtype = jnp.full(shape, -1.0, jnp.float32)
+        for i in range(n_spheres):
+            mtype = jnp.where(best_i == i, mtypes[i], mtype)
+
+        return shade(cam_s, ox, oy, oz, dx, dy, dz, tr, tg, tb,
+                     active, term_allowed, a0, a1, a2, a3, b0, b1,
+                     inv_a, inv_len, hit, best_t,
+                     gather(F_CX), gather(F_CY), gather(F_CZ),
+                     gather(F_INVR, 1.0),
+                     gather(F_ALR), gather(F_ALG), gather(F_ALB),
+                     lambda: gather(F_FUZZ),
+                     lambda: gather(F_IOR),
+                     lambda: gather(F_INVIOR, 1.0),
+                     mtype)
+
+    def winner_bounce(cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz,
+                      tr, tg, tb, active, term_allowed,
+                      a0, a1, a2, a3, b0, b1):
+        """One bounce for the REVERSE sweep, restructured so its vjp
+        carries O(1) tile-sized residuals in the sphere count.
+
+        The intersection argmin runs on stop_gradient'ed inputs (primal
+        only — the winner index and hit mask are discrete); the
+        differentiable part gathers the WINNER's parameters with linear
+        one-hot folds (whose transpose yields the per-sphere scalar
+        cotangents) and recomputes t from them — the same expressions in
+        the same order as the argmin loop, so t is bitwise-equal to
+        best_t on hit lanes.  Gradients are mathematically identical to
+        differentiating the full loop: the interior-derivative convention
+        routes d(best_t) through the argmin winner only, and the loop's
+        where-folds gave every non-winner branch an exactly-zero
+        cotangent.  Without this, 100-sphere scenes overflow the 16 MB
+        scoped-VMEM limit (O(n_spheres) vjp residuals; measured)."""
+        shape = ox.shape
+        sg = jax.lax.stop_gradient
+
+        def sv(field, i):
+            return sph_s[fi[field]][i]
+
+        a = _dot3(dx, dy, dz, dx, dy, dz)
+        inv_a = 1.0 / a
+        inv_len = jax.lax.rsqrt(a)
+        sph_p = tuple(tuple(sg(s) for s in row) for row in sph_s)
+        _, best_i = _intersect(sph_p, sg(ox), sg(oy), sg(oz),
+                               sg(dx), sg(dy), sg(dz), sg(a), sg(inv_a))
+
+        def wgather(field, init=0.0):
+            v = jnp.full(shape, init, jnp.float32)
+            for i in range(n_spheres):
+                v = jnp.where(best_i == i, sv(field, i), v)
+            return v
+
+        w_cx = wgather(F_CX)
+        w_cy = wgather(F_CY)
+        w_cz = wgather(F_CZ)
+        w_r2 = wgather(F_R2)
+        mtype = jnp.full(shape, -1.0, jnp.float32)
+        for i in range(n_spheres):
+            mtype = jnp.where(best_i == i, mtypes[i], mtype)
+
+        # winner-only quadratic: bitwise-equal to the argmin loop's t_i
+        # for the winning sphere (identical expressions and order)
+        ocx = ox - w_cx
+        ocy = oy - w_cy
+        ocz = oz - w_cz
+        half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
+        c_t = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz) - w_r2)
+        disc = half_b * half_b - a * c_t
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
+        r0 = (-half_b - sq) * inv_a
+        r1 = (-half_b + sq) * inv_a
+        ok0 = (disc >= 0.0) & (r0 >= t_min)
+        ok1 = (disc >= 0.0) & (r1 >= t_min)
+        t_w = jnp.where(ok0, r0, jnp.where(ok1, r1, BIG))
+        # a lane hit iff its winner's root is valid: for non-hit lanes
+        # every sphere's t_i was BIG, including best_i's (= sphere 0)
+        hit = t_w < BIG
+        best_t = t_w
+
+        return shade(cam_s, ox, oy, oz, dx, dy, dz, tr, tg, tb,
+                     active, term_allowed, a0, a1, a2, a3, b0, b1,
+                     inv_a, inv_len, hit, best_t,
+                     w_cx, w_cy, w_cz, wgather(F_INVR, 1.0),
+                     wgather(F_ALR), wgather(F_ALG), wgather(F_ALB),
+                     lambda: wgather(F_FUZZ),
+                     lambda: wgather(F_IOR),
+                     lambda: wgather(F_INVIOR, 1.0),
+                     mtype)
+
     def kernel(off_ref, cam_ref, sph_ref, gr_ref, gg_ref, gb_ref,
                gcam_ref, gsph_ref, st, rec, gacc):
         tile = pl.program_id(0)
-        shape = (TILE_ROWS, LANES)
-        lin = (off_ref[0, 0] + tile * TILE
+        shape = (tile_rows, LANES)
+        lin = (off_ref[0, 0] + tile * (tile_rows * LANES)
                + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
                + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
         pix_u = lin.astype(_U32)
@@ -404,7 +513,7 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 tr = st[S_TR]
                 tg = st[S_TG]
                 tb = st[S_TB]
-                rows = pl.ds(j * TILE_ROWS, TILE_ROWS)
+                rows = pl.ds(j * tile_rows, tile_rows)
                 rec[R_OX, rows, :] = ox
                 rec[R_OY, rows, :] = oy
                 rec[R_OZ, rows, :] = oz
@@ -459,7 +568,7 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
 
             def rev_body(jj, _):
                 j = n_slots - 1 - jj
-                rows = pl.ds(j * TILE_ROWS, TILE_ROWS)
+                rows = pl.ds(j * tile_rows, tile_rows)
                 ox = rec[R_OX, rows, :]
                 oy = rec[R_OY, rows, :]
                 oz = rec[R_OZ, rows, :]
@@ -478,9 +587,10 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 term_allowed = k_safe + 1.0 < jnp.float32(max_depth)
 
                 def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz, tr, tg, tb):
-                    out = bounce_fn(cam_t, sph_t, mtypes, ox, oy, oz,
-                                    dx, dy, dz, tr, tg, tb, alive,
-                                    term_allowed, a0, a1, a2, a3, b0, b1)
+                    out = winner_bounce(cam_t, sph_t, mtypes, ox, oy, oz,
+                                        dx, dy, dz, tr, tg, tb, alive,
+                                        term_allowed, a0, a1, a2, a3,
+                                        b0, b1)
                     return out[:12]          # drop the bool cont
 
                 _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
@@ -588,23 +698,30 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
     has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags[:5]
     h, w = g_img.shape[0], g_img.shape[1]
     n_pix = h * w
-    n_tiles = -(-n_pix // TILE)
-    pad = n_tiles * TILE - n_pix
-    g = g_img.reshape(n_pix, 3)
-    if pad:
-        g = jnp.pad(g, ((0, pad), (0, 0)))
-    g = g.T.reshape(3, n_tiles * TILE_ROWS, LANES)
 
     # Ring depth: >= max_depth so a restarted path always completes within
     # one round (forward progress), >= MIN_SLOTS to keep the abandoned-path
     # recompute waste small.
     n_slots = max(MIN_SLOTS, cfg.max_depth)
+    # Large sphere tables inflate the kernel's live vregs; halve the tile
+    # so the ring + state stay inside scoped VMEM (measured: 100 spheres
+    # at rows=32 overflow the 16 MB scoped limit by 0.24 MB).
+    tile_rows = TILE_ROWS if n_spheres <= 32 else TILE_ROWS // 2
+    tile = tile_rows * LANES
     kernel = _make_grad_kernel(
         n_spheres=n_spheres, width=w, height=h,
         spp=n_samples, max_depth=cfg.max_depth, t_min=cfg.t_min,
         sky_kind=sky_kind, clamp_samples=cfg.clamp_samples,
         has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
-        has_fuzz=has_fuzz, has_aperture=has_aperture, n_slots=n_slots)
+        has_fuzz=has_fuzz, has_aperture=has_aperture, n_slots=n_slots,
+        tile_rows=tile_rows)
+
+    n_tiles = -(-n_pix // tile)
+    pad = n_tiles * tile - n_pix
+    g = g_img.reshape(n_pix, 3)
+    if pad:
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    g = g.T.reshape(3, n_tiles * tile_rows, LANES)
 
     gcam, gsph = pl.pallas_call(
         kernel,
@@ -617,7 +734,7 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+        ] + [pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                           memory_space=pltpu.VMEM) for _ in range(3)],
         out_specs=[
             pl.BlockSpec((1, LANES), lambda i: (0, 0),
@@ -626,8 +743,8 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_ST, TILE_ROWS, LANES), jnp.float32),
-            pltpu.VMEM((N_REC, n_slots * TILE_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((N_REC, n_slots * tile_rows, LANES), jnp.float32),
             pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
         ],
         interpret=interpret,

@@ -303,9 +303,21 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
             grad_backend == "pallas" or on_tpu_g
             or cfg.backend == "pallas")
         if use_pl_grad:
-            grads = render_grad_scene(scene, cfg, g_img, seed,
-                                      interpret=not on_tpu_g)
-            return loss, img, grads
+            try:
+                grads = render_grad_scene(scene, cfg, g_img, seed,
+                                          interpret=not on_tpu_g)
+                # surface Mosaic compile errors (e.g. a scoped-VMEM
+                # overflow on an unswept shape) here, where the jnp VJP
+                # below can still take over
+                jax.block_until_ready(grads)
+                return loss, img, grads
+            except Exception as e:
+                if grad_backend == "pallas":
+                    raise
+                import warnings
+                warnings.warn(
+                    "pallas grad kernel failed; falling back to the jnp "
+                    f"VJP: {e}")
 
     if row_chunk is None:
         row_chunk = h

@@ -133,6 +133,59 @@ def test_grad_sampled_dispatch_matches_jnp():
         assert float(np.abs(a - b).max()) / scale < 5e-3, name
 
 
+def test_large_sphere_count():
+    """>32 spheres exercises the winner-only reverse bounce (the full-loop
+    vjp's O(n_spheres) residuals overflow scoped VMEM at 100 spheres) and
+    the halved gradient tile."""
+    rng = np.random.default_rng(42)
+    n = 40
+    centers = np.stack([rng.uniform(-3, 3, n),
+                        rng.uniform(0.3, 0.8, n),
+                        rng.uniform(-3, 3, n)], axis=1)
+    radii = rng.uniform(0.2, 0.45, n)
+    albedo = rng.uniform(0.1, 0.9, (n, 3))
+    mat_type = rng.integers(0, 2, n)  # lambertian / metal
+    fuzz = rng.uniform(0.0, 0.3, n)
+    base = ort.reference_scene()
+    sp = base.spheres
+    scene = dc.replace(base, spheres=dc.replace(
+        sp,
+        center=jnp.asarray(centers, jnp.float32),
+        radius=jnp.asarray(radii, jnp.float32),
+        albedo=jnp.asarray(albedo, jnp.float32),
+        mat_type=jnp.asarray(mat_type, jnp.int32),
+        fuzz=jnp.asarray(fuzz, jnp.float32),
+        ior=jnp.full((n,), 1.5, jnp.float32)))
+    cfg = ort.RenderConfig(width=48, height=32, spp=2, max_depth=4,
+                           backend="jnp", nan_policy="zero")
+    assert supports_grad(scene, cfg)
+    g, gref = _grad_pair(scene, cfg, seed=23)
+    _assert_close(g, gref, rtol=2e-2)
+
+
+def test_pallas_grad_failure_falls_back(monkeypatch):
+    """A Pallas grad-kernel failure (e.g. scoped-VMEM overflow on an
+    unswept shape) degrades to the jnp VJP under grad_backend="auto" and
+    propagates under "pallas"."""
+    import opencl_ray_tracer_tpu.kernels.megagrad as mg
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic mosaic failure")
+
+    monkeypatch.setattr(mg, "render_grad_scene", boom)
+    scene = ort.reference_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=3,
+                           backend="pallas", nan_policy="zero")
+    with pytest.warns(UserWarning, match="falling back"):
+        loss, img, grads = render_grad_sampled(scene, cfg, LOSS, seed=5,
+                                               grad_backend="auto")
+    assert np.isfinite(float(loss))
+    assert float(np.abs(np.asarray(grads.spheres.center)).max()) > 0
+    with pytest.raises(RuntimeError, match="synthetic"):
+        render_grad_sampled(scene, cfg, LOSS, seed=5,
+                            grad_backend="pallas")
+
+
 def test_tables_sample_window():
     """Sample-windowed table grads sum to the full-spp table grads (the
     sharded / chunked entry point)."""
