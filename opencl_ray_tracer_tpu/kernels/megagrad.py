@@ -694,10 +694,16 @@ def _grad_tables_jit(scene, cfg, g_img, seed, sample_base, n_samples,
 
 
 def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
-                       seed, sample_base, n_samples, flags, interpret):
+                       seed, sample_base, n_samples, flags, interpret,
+                       pix_base=None, full_height=None):
+    """pix_base (traced i32) positions this g_img block's first pixel in
+    the GLOBAL linear pixel index (sharded row blocks; camera math uses
+    full_height = the global image height)."""
     has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags[:5]
     h, w = g_img.shape[0], g_img.shape[1]
-    n_pix = h * w
+    if full_height is not None:
+        h = full_height
+    n_pix = g_img.shape[0] * w
 
     # Ring depth: >= max_depth so a restarted path always completes within
     # one round (forward progress), >= MIN_SLOTS to keep the abandoned-path
@@ -748,7 +754,8 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
             pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.stack([jnp.int32(0), jnp.int32(seed),
+    )(jnp.stack([jnp.int32(0) if pix_base is None else
+                 jnp.asarray(pix_base, jnp.int32), jnp.int32(seed),
                  jnp.int32(sample_base)]).reshape(1, 3),
       cam_tab, sph_tab, g[0], g[1], g[2])
     return gcam, gsph

@@ -122,6 +122,66 @@ def render_sharded_jit(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0):
     return fn(scene)
 
 
+def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
+                        seed: int = 0, pallas_interpret: bool = False):
+    """Sharded forward+backward via the Pallas backward megakernel:
+    (loss, image, scene-gradients).
+
+    Each tile shard runs the backward megakernel (kernels/megagrad.py) on
+    its row block of the image cotangent with its global pixel offset;
+    the (camera, sphere) table cotangents are psum-reduced over the whole
+    mesh (the ICI all-reduce the reference has no analog for) and chained
+    through the differentiable table builders once, replicated.  Scene
+    scope = megagrad.supports_grad; sample axis must be 1 (the wavefront
+    kernel owns the whole sample loop).  Per-shard accumulation order
+    differs from the single-chip kernel's sequential tile loop, so
+    gradients match single-chip to f32 reduction tolerance (the image
+    itself stays bit-identical — counter RNG)."""
+    from ..kernels.megagrad import (_grad_tables_inner, supports_grad)
+    from ..kernels.megakernel import (_camera_table, _sphere_table,
+                                      specialize_flags)
+
+    n_tile, n_sample = _check(cfg, mesh)
+    assert n_sample == 1, "sharded grad: sample axis must be 1"
+    assert supports_grad(scene, cfg), "scene outside megagrad scope"
+    rows_per = cfg.height // n_tile
+    flags = specialize_flags(scene)
+    n_spheres = scene.spheres.count
+    sky_kind = scene.sky.kind
+
+    use_pallas = jax.default_backend() == "tpu" or pallas_interpret
+    img = render_sharded(scene, cfg, mesh, seed, use_pallas=use_pallas,
+                         pallas_interpret=pallas_interpret)
+    loss, g_img = jax.value_and_grad(loss_fn)(img)
+
+    def build(s):
+        return _camera_table(s), _sphere_table(s)
+
+    (cam_tab, sph_tab), build_vjp = jax.vjp(build, scene)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(TILE_AXIS, None, None)),
+        out_specs=(P(), P()), check_vma=False)
+    def _grad(cam_t, sph_t, g):
+        ti = jax.lax.axis_index(TILE_AXIS)
+        gcam, gsph = _grad_tables_inner(
+            cam_t, sph_t, n_spheres, sky_kind, cfg, g,
+            jnp.int32(seed), jnp.int32(0), cfg.spp, flags,
+            pallas_interpret,
+            pix_base=ti * (rows_per * cfg.width),
+            full_height=cfg.height)
+        gcam = jax.lax.psum(gcam, (TILE_AXIS, SAMPLE_AXIS))
+        gsph = jax.lax.psum(gsph, (TILE_AXIS, SAMPLE_AXIS))
+        return gcam, gsph
+
+    # the kernel accumulates raw per-sample contributions; the image is
+    # their mean, so the cotangent carries 1/spp (as render_grad_scene)
+    gcam, gsph = _grad(cam_tab, sph_tab, g_img / jnp.float32(cfg.spp))
+    (s_bar,) = build_vjp((gcam, gsph))
+    return loss, img, s_bar
+
+
 def make_train_step(cfg: RenderConfig, mesh, optimizer, loss_fn,
                     insert_params, seed: int = 0, hit_fn_factory=None):
     """Sharded inverse-rendering train step.

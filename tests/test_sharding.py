@@ -221,3 +221,39 @@ def test_megamesh_sharded_matches_single():
     img_1 = np.asarray(render_pallas_mesh(scene, cfg, seed=0,
                                           interpret=True))
     np.testing.assert_allclose(img_s, img_1, atol=1e-7)
+
+
+def test_sharded_pallas_grad_matches_single_device():
+    """render_grad_sharded (backward megakernel per tile shard + psum of
+    table cotangents) vs the single-device kernel grads.  Accumulation
+    order differs (per-shard psum vs sequential tile loop), so f32
+    reduction tolerance, not bit-identity."""
+    from opencl_ray_tracer_tpu.kernels.megagrad import render_grad_scene
+
+    scene = ort.readme_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=4, max_depth=4,
+                           backend="jnp", nan_policy="zero")
+    mesh = par.make_mesh(n_tile=8, n_sample=1)
+    loss_fn = lambda im: jnp.mean(im ** 2)
+
+    loss, img, g = par.render_grad_sharded(scene, cfg, loss_fn, mesh,
+                                           seed=0, pallas_interpret=True)
+
+    img_ref = ort.render(scene, cfg, seed=0)
+    _, g_img = jax.value_and_grad(loss_fn)(img_ref)
+    g_ref = render_grad_scene(scene, cfg, g_img, seed=0, interpret=True)
+
+    # forward went through the megakernel (pallas_interpret): megakernel
+    # tolerance vs the jnp reference, not bit-identity
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref),
+                               rtol=0, atol=5e-5)
+    for name in ("center", "radius", "albedo", "fuzz", "ior"):
+        a = np.asarray(getattr(g.spheres, name))
+        b = np.asarray(getattr(g_ref.spheres, name))
+        scale = max(float(np.abs(b).max()), 1e-6)
+        assert float(np.abs(a - b).max()) / scale < 1e-4, name
+    for name in ("look_from", "look_at", "vfov_deg"):
+        a = np.asarray(getattr(g.camera, name))
+        b = np.asarray(getattr(g_ref.camera, name))
+        scale = max(float(np.abs(b).max()), 1e-6)
+        assert float(np.abs(a - b).max()) / scale < 1e-4, name
