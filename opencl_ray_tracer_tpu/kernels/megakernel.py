@@ -689,7 +689,7 @@ SPHERE_GROUP_SIZE = 16
 SPHERE_SPEC_MIN = 0
 
 
-def _fold_entry(field, vals, relevant):
+def _fold_entry(field, vals, relevant, conservative=False):
     """(field, default_idx, mask) for one winner attribute: gather
     post-loop via the winner index over ONLY the spheres whose value
     differs from the majority value among the `relevant` spheres (the
@@ -699,6 +699,11 @@ def _fold_entry(field, vals, relevant):
     the relevant spheres costs nothing (empty mask); irrelevant winners
     read the default, which their material path never uses.
 
+    conservative marks EVERY relevant sphere as differing (value-
+    independent masks) — required when the field's values may change
+    between calls under one compilation, i.e. fitted parameters traced
+    through the table (optimize.fit_scene's pallas path).
+
     (An in-loop register-fold variant was measured SLOWER on both the
     5-sphere and 100-sphere scenes: carrying ~11 live (64,128) values
     through the unrolled intersection loop spills vector registers —
@@ -707,6 +712,8 @@ def _fold_entry(field, vals, relevant):
     idx = np.nonzero(relevant)[0]
     if idx.size == 0:
         return (field, 0, tuple(False for _ in vals))
+    if conservative:
+        return (field, int(idx[0]), tuple(bool(r) for r in relevant))
     vv = vals[idx]
     uniq, counts = np.unique(vv, return_counts=True)
     dflt = uniq[np.argmax(counts)]
@@ -742,7 +749,7 @@ def sphere_chunk_plan(scene: Scene, size: int = SPHERE_GROUP_SIZE):
     return tuple(int(i) for i in order), tuple(out_spans)
 
 
-def _sphere_fold_spec(scene: Scene, perm=None):
+def _sphere_fold_spec(scene: Scene, perm=None, conservative=False):
     """Static per-sphere specialization for the register-fold winner path:
     (types, fold_fields) where types is the per-sphere material class and
     fold_fields lists (field, default_idx, fold_mask) for each attribute
@@ -768,26 +775,30 @@ def _sphere_fold_spec(scene: Scene, perm=None):
     center = np.asarray(s.center)
     every = np.ones_like(is_metal)
     fields = [
-        _fold_entry(F_CX, center[:, 0], every),
-        _fold_entry(F_CY, center[:, 1], every),
-        _fold_entry(F_CZ, center[:, 2], every),
-        _fold_entry(F_INVR, 1.0 / np.maximum(radius, 1e-30), every),
-        _fold_entry(F_ALR, albedo[:, 0], ~is_diel),
-        _fold_entry(F_ALG, albedo[:, 1], ~is_diel),
-        _fold_entry(F_ALB, albedo[:, 2], ~is_diel),
+        _fold_entry(F_CX, center[:, 0], every, conservative),
+        _fold_entry(F_CY, center[:, 1], every, conservative),
+        _fold_entry(F_CZ, center[:, 2], every, conservative),
+        _fold_entry(F_INVR, 1.0 / np.maximum(radius, 1e-30), every,
+                    conservative),
+        _fold_entry(F_ALR, albedo[:, 0], ~is_diel, conservative),
+        _fold_entry(F_ALG, albedo[:, 1], ~is_diel, conservative),
+        _fold_entry(F_ALB, albedo[:, 2], ~is_diel, conservative),
     ]
-    if bool(is_metal.any()) and bool((np.asarray(s.fuzz)[is_metal]
-                                      > 0).any()):
-        fields.append(_fold_entry(F_FUZZ, np.asarray(s.fuzz), is_metal))
+    if bool(is_metal.any()) and (conservative
+                                 or bool((np.asarray(s.fuzz)[is_metal]
+                                          > 0).any())):
+        fields.append(_fold_entry(F_FUZZ, np.asarray(s.fuzz), is_metal,
+                                  conservative))
     if bool(is_diel.any()):
         ior = np.asarray(s.ior)
-        fields.append(_fold_entry(F_IOR, ior, is_diel))
+        fields.append(_fold_entry(F_IOR, ior, is_diel, conservative))
         fields.append(_fold_entry(F_INVIOR,
-                                  1.0 / np.maximum(ior, 1e-8), is_diel))
+                                  1.0 / np.maximum(ior, 1e-8), is_diel,
+                                  conservative))
     return (types, tuple(fields))
 
 
-def specialize_flags(scene: Scene):
+def specialize_flags(scene: Scene, conservative: bool = False):
     """Static material-presence specialization flags: scenes without
     dielectric / emissive / fuzzy-metal spheres compile without those code
     paths.  Must be called on a CONCRETE scene (outside jit/shard_map);
@@ -796,6 +807,13 @@ def specialize_flags(scene: Scene):
     For large sphere counts the flags carry a spatial grouping plan
     (permutation + group partition, both static) for the grouped fold.
     The last element is the register-fold spec (_sphere_fold_spec).
+
+    conservative produces VALUE-INDEPENDENT flags (fuzz/aperture paths
+    compiled unconditionally, fold-spec masks cover every relevant
+    sphere): one compilation stays correct as float parameter values
+    change across calls — required when the scene's float leaves are
+    fitted parameters (optimize.fit_scene / parallel.make_train_step
+    pallas paths).  Material types and sphere count stay static.
     """
     types = np.asarray(scene.spheres.mat_type)
     fuzz = np.asarray(scene.spheres.fuzz)
@@ -803,8 +821,8 @@ def specialize_flags(scene: Scene):
     has_metal = bool((types == mat.METAL).any())
     has_diel = bool((types == mat.DIELECTRIC).any())
     has_emit = bool((types == mat.EMISSIVE).any())
-    has_fuzz = bool((fuzz[types == mat.METAL] > 0).any()) if has_metal \
-        else False
+    has_fuzz = has_metal if conservative else (
+        bool((fuzz[types == mat.METAL] > 0).any()) if has_metal else False)
     n = scene.spheres.count
     plan = None
     if n > SPHERE_GROUP_MIN:
@@ -830,9 +848,10 @@ def specialize_flags(scene: Scene):
             groups.append(tuple(range(s, s + (b - a))))
             s += b - a
         plan = (tuple(int(i) for i in order), tuple(groups))
-    spec = (_sphere_fold_spec(scene)
+    spec = (_sphere_fold_spec(scene, conservative=conservative)
             if plan is None and len(types) >= SPHERE_SPEC_MIN else None)
-    return (has_metal, has_diel, has_emit, has_fuzz, aperture > 0.0, plan,
+    has_aperture = True if conservative else aperture > 0.0
+    return (has_metal, has_diel, has_emit, has_fuzz, has_aperture, plan,
             spec)
 
 

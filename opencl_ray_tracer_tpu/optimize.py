@@ -75,12 +75,22 @@ def fit_scene(
     soft: bool = False,
     beta: float = 80.0,
     param_mask: dict | None = None,
+    grad_backend: str = "auto",
+    pallas_interpret: bool = False,
 ):
     """Gradient-descent fit of the listed scene parameters to ``target``.
 
     target: (H,W,3) radiance image (same config as cfg).
     sample_new_noise: re-randomize the Monte Carlo seed each step (SGD over
       the estimator noise); False = deterministic objective.
+    grad_backend: "pallas" runs each step through the forward + backward
+      megakernels (kernels/megakernel.py + megagrad.py — kernel-rate
+      fwd+bwd, hard-visibility interior gradients, so geometry fits should
+      still use soft=True); "jnp" is the differentiable scan; "auto" =
+      pallas when the scene is in kernel scope, on TPU, and soft is off.
+      The kernels are compiled with value-independent specialization
+      (specialize_flags conservative mode) so one compilation serves every
+      optimizer step.
     Returns (fitted_scene, losses list).
     """
     import optax  # deferred: optax creates arrays at import time, which
@@ -91,29 +101,67 @@ def fit_scene(
     if loss_fn is None:
         loss_fn = lambda img: jnp.mean((img - target) ** 2)
 
+    use_pallas = False
+    if grad_backend in ("auto", "pallas") and not soft:
+        from .kernels.megagrad import supports_grad
+        in_scope = supports_grad(init_scene, dcfg)
+        if grad_backend == "pallas":
+            assert in_scope, "fit_scene: scene outside pallas grad scope"
+            use_pallas = True
+        else:
+            use_pallas = in_scope and jax.default_backend() == "tpu"
+
     params = extract_params(init_scene, param_paths)
     opt = optax.adam(learning_rate)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step_fn(params, opt_state, step_seed):
-        def objective(p):
-            scene = insert_params(init_scene, p)
-            if soft:
-                from .tracer.soft import render_soft
-                img = render_soft(scene, dcfg, step_seed, beta=beta)
-            else:
-                img = render_rows(scene, dcfg, jnp.int32(0), dcfg.height,
-                                  step_seed)
-            return loss_fn(img)
+    if use_pallas:
+        from .kernels.megagrad import _grad_scene_jit
+        from .kernels.megakernel import (render_pallas_inner,
+                                         specialize_flags)
+        interp = pallas_interpret or jax.default_backend() != "tpu"
+        # the kernel's NaN policy for sample contributions is the
+        # order-invariant "zero" (as render_grad_sampled's chunks)
+        gcfg = dcfg.replace(nan_policy="zero")
+        flags = specialize_flags(init_scene, conservative=True)
 
-        loss, grads = jax.value_and_grad(objective)(params)
-        if param_mask is not None:
-            grads = {k: g * jnp.asarray(param_mask[k], g.dtype)
-                     if k in param_mask else g for k, g in grads.items()}
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        @jax.jit
+        def step_fn(params, opt_state, step_seed):
+            scene = insert_params(init_scene, params)
+            img = render_pallas_inner(scene, gcfg, step_seed, interp,
+                                      flags, gcfg.height, 0)
+            loss, g_img = jax.value_and_grad(loss_fn)(img)
+            s_bar = _grad_scene_jit(scene, gcfg, g_img, step_seed, flags,
+                                    interp)
+            grads = {p: _get_path(s_bar, p) for p in param_paths}
+            if param_mask is not None:
+                grads = {k: g * jnp.asarray(param_mask[k], g.dtype)
+                         if k in param_mask else g
+                         for k, g in grads.items()}
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+    else:
+        @jax.jit
+        def step_fn(params, opt_state, step_seed):
+            def objective(p):
+                scene = insert_params(init_scene, p)
+                if soft:
+                    from .tracer.soft import render_soft
+                    img = render_soft(scene, dcfg, step_seed, beta=beta)
+                else:
+                    img = render_rows(scene, dcfg, jnp.int32(0),
+                                      dcfg.height, step_seed)
+                return loss_fn(img)
+
+            loss, grads = jax.value_and_grad(objective)(params)
+            if param_mask is not None:
+                grads = {k: g * jnp.asarray(param_mask[k], g.dtype)
+                         if k in param_mask else g
+                         for k, g in grads.items()}
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
 
     losses = []
     for i in range(steps):

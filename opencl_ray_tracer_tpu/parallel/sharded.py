@@ -183,15 +183,29 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
 
 
 def make_train_step(cfg: RenderConfig, mesh, optimizer, loss_fn,
-                    insert_params, seed: int = 0, hit_fn_factory=None):
+                    insert_params, seed: int = 0, hit_fn_factory=None,
+                    grad_backend: str = "jnp", template_scene=None,
+                    pallas_interpret: bool = False):
     """Sharded inverse-rendering train step.
 
     insert_params(params) -> Scene.  Returns jitted
     step(params, opt_state, target, step_seed) -> (params, opt_state, loss).
     Scene params are replicated; their gradients are psum-reduced across the
     mesh by the shard_map transpose automatically.
+
+    grad_backend="pallas" runs each shard's forward AND backward through
+    the megakernels (kernels/megakernel.py + megagrad.py) with the table
+    cotangents psum-reduced over the mesh — kernel-rate fwd+bwd training.
+    Requires template_scene (a concrete Scene with the same static
+    structure insert_params produces: counts, material types, sky kind)
+    for the value-independent kernel specialization, sample axis 1, and a
+    scene inside megagrad scope (spheres + gradient/const sky).
     """
     dcfg = cfg.replace(early_stop=False)
+    if grad_backend == "pallas":
+        return _make_train_step_pallas(cfg, mesh, optimizer, loss_fn,
+                                       insert_params, template_scene,
+                                       pallas_interpret)
 
     def step(params, opt_state, target, step_seed):
         def objective(p):
@@ -216,6 +230,75 @@ def make_train_step(cfg: RenderConfig, mesh, optimizer, loss_fn,
 
         loss, grads = jax.value_and_grad(objective)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
+def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
+                            template_scene, pallas_interpret):
+    """Megakernel fwd + backward-megakernel bwd per tile shard; table
+    cotangents psum over the mesh, chained through the differentiable
+    table builders and insert_params once, replicated."""
+    from ..kernels.megagrad import _grad_tables_inner, supports_grad
+    from ..kernels.megakernel import (_camera_table, _sphere_table,
+                                      render_pallas_inner, specialize_flags)
+
+    assert template_scene is not None, \
+        "grad_backend='pallas' needs template_scene"
+    gcfg = cfg.replace(early_stop=False, nan_policy="zero")
+    assert supports_grad(template_scene, gcfg), \
+        "template scene outside megagrad scope"
+    n_tile, n_sample = _check(gcfg, mesh)
+    assert n_sample == 1, "pallas train step: sample axis must be 1"
+    rows_per = gcfg.height // n_tile
+    flags = specialize_flags(template_scene, conservative=True)
+    n_spheres = template_scene.spheres.count
+    sky_kind = template_scene.sky.kind
+    interp = pallas_interpret or jax.default_backend() != "tpu"
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(), P()),
+        out_specs=P(TILE_AXIS, None, None), check_vma=False)
+    def _fwd(scene, sd):
+        ti = jax.lax.axis_index(TILE_AXIS)
+        return render_pallas_inner(scene, gcfg, sd, interp, flags,
+                                   rows_per, ti * (rows_per * gcfg.width))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(TILE_AXIS, None, None), P()),
+        out_specs=(P(), P()), check_vma=False)
+    def _bwd(cam_t, sph_t, g, sd):
+        ti = jax.lax.axis_index(TILE_AXIS)
+        gcam, gsph = _grad_tables_inner(
+            cam_t, sph_t, n_spheres, sky_kind, gcfg, g,
+            jnp.int32(sd), jnp.int32(0), gcfg.spp, flags, interp,
+            pix_base=ti * (rows_per * gcfg.width),
+            full_height=gcfg.height)
+        gcam = jax.lax.psum(gcam, (TILE_AXIS, SAMPLE_AXIS))
+        gsph = jax.lax.psum(gsph, (TILE_AXIS, SAMPLE_AXIS))
+        return gcam, gsph
+
+    def step(params, opt_state, target, step_seed):
+        scene = insert_params(params)
+        img = _fwd(scene, step_seed)
+        loss, g_img = jax.value_and_grad(
+            lambda im: loss_fn(im, target))(img)
+
+        def build(s):
+            return _camera_table(s), _sphere_table(s)
+
+        (cam_tab, sph_tab), build_vjp = jax.vjp(build, scene)
+        # the kernel accumulates raw per-sample contributions; the image
+        # is their mean, so the cotangent carries 1/spp
+        gcam, gsph = _bwd(cam_tab, sph_tab,
+                          g_img / jnp.float32(gcfg.spp), step_seed)
+        (s_bar,) = build_vjp((gcam, gsph))
+        _, ins_vjp = jax.vjp(insert_params, params)
+        (p_bar,) = ins_vjp(s_bar)
+        updates, opt_state = optimizer.update(p_bar, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss
 

@@ -49,3 +49,57 @@ def test_recover_albedo():
     # unidentifiable); green/blue recover tightly.
     assert np.abs(got[1:] - want[1:]).max() < 0.1, (got, want)
     assert got[0] > 0.7
+
+
+def test_fit_scene_pallas_step_matches_jnp():
+    """One fit step through the megakernel fwd+bwd path vs the jnp scan
+    path: same loss and same parameter update to kernel tolerance (the
+    pallas path's forward is the megakernel and its backward replays the
+    identical sample stream — counter RNG)."""
+    cfg = ort.RenderConfig(width=32, height=16, spp=4, max_depth=4,
+                           nan_policy="zero")
+    true_scene = ort.readme_scene()
+    target = ort.render(true_scene, cfg.replace(early_stop=False), seed=3)
+
+    bad_albedo = true_scene.spheres.albedo.at[1].set(
+        jnp.array([0.3, 0.8, 0.5]))
+    init = dataclasses.replace(
+        true_scene,
+        spheres=dataclasses.replace(true_scene.spheres, albedo=bad_albedo))
+
+    kw = dict(param_paths=("spheres.albedo", "camera.look_from"),
+              steps=1, learning_rate=1e-2, seed=5,
+              sample_new_noise=False)
+    fit_p, loss_p = fit_scene(target, init, cfg, grad_backend="pallas",
+                              pallas_interpret=True, **kw)
+    fit_j, loss_j = fit_scene(target, init, cfg, grad_backend="jnp", **kw)
+
+    assert abs(loss_p[0] - loss_j[0]) < 5e-4, (loss_p, loss_j)
+    np.testing.assert_allclose(np.asarray(fit_p.spheres.albedo),
+                               np.asarray(fit_j.spheres.albedo), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fit_p.camera.look_from),
+                               np.asarray(fit_j.camera.look_from),
+                               atol=2e-4)
+
+
+def test_fit_scene_pallas_converges():
+    """Multi-step pallas fit drives the loss down (one compilation serves
+    every step: conservative specialization keeps fold masks valid as the
+    fitted values drift)."""
+    cfg = ort.RenderConfig(width=32, height=16, spp=4, max_depth=4,
+                           nan_policy="zero")
+    true_scene = ort.readme_scene()
+    target = ort.render(true_scene, cfg.replace(early_stop=False), seed=9)
+
+    bad_albedo = true_scene.spheres.albedo.at[1].set(
+        jnp.array([0.2, 0.9, 0.9]))
+    init = dataclasses.replace(
+        true_scene,
+        spheres=dataclasses.replace(true_scene.spheres, albedo=bad_albedo))
+
+    fitted, losses = fit_scene(target, init, cfg,
+                               param_paths=("spheres.albedo",),
+                               steps=20, learning_rate=5e-2, seed=11,
+                               grad_backend="pallas",
+                               pallas_interpret=True)
+    assert losses[-1] < 0.5 * losses[0], losses

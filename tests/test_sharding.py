@@ -257,3 +257,38 @@ def test_sharded_pallas_grad_matches_single_device():
         b = np.asarray(getattr(g_ref.camera, name))
         scale = max(float(np.abs(b).max()), 1e-6)
         assert float(np.abs(a - b).max()) / scale < 1e-4, name
+
+
+def test_sharded_pallas_train_step_matches_jnp_step():
+    """make_train_step(grad_backend='pallas'): megakernel fwd + backward
+    megakernel bwd per shard vs the jnp shard_map autodiff step — same
+    loss and same sgd(1.0) update to kernel tolerance."""
+    scene = ort.readme_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=4, max_depth=4,
+                           nan_policy="zero")
+    mesh = par.make_mesh(n_tile=8, n_sample=1)
+    target = jnp.zeros((cfg.height, cfg.width, 3))
+
+    def insert(p):
+        return dataclasses.replace(
+            scene, spheres=dataclasses.replace(scene.spheres,
+                                               albedo=p["albedo"]))
+
+    loss_fn = lambda img, tgt: jnp.mean((img - tgt) ** 2)
+    params = {"albedo": scene.spheres.albedo}
+
+    opt = optax.sgd(1.0)
+    step_j = par.make_train_step(cfg, mesh, opt, loss_fn, insert, seed=0)
+    pj, _, loss_j = step_j(params, opt.init(params), target, jnp.uint32(0))
+
+    step_p = par.make_train_step(cfg, mesh, opt, loss_fn, insert, seed=0,
+                                 grad_backend="pallas",
+                                 template_scene=scene,
+                                 pallas_interpret=True)
+    pp, _, loss_p = step_p(params, opt.init(params), target, jnp.uint32(0))
+
+    assert abs(float(loss_p) - float(loss_j)) < 5e-4
+    g_j = np.asarray(params["albedo"] - pj["albedo"])
+    g_p = np.asarray(params["albedo"] - pp["albedo"])
+    scale = max(float(np.abs(g_j).max()), 1e-6)
+    assert float(np.abs(g_p - g_j).max()) / scale < 1e-3
