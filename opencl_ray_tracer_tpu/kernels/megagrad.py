@@ -135,6 +135,19 @@ CAM_SLOTS = (C_OX, C_OY, C_OZ, C_HX, C_HY, C_HZ, C_VX, C_VY, C_VZ,
  S_S, S_K) = range(20)
 N_ST = 20
 
+# Mesh-variant extra record rows: winner code (-1 miss, [0,n_spheres)
+# sphere index, n_spheres = triangle), raw geometric normal, hit t.  The
+# reverse sweep reads the winner from the ring instead of re-running the
+# intersection (the triangle fold is far too heavy to replay per slot).
+N_REC_MESH = N_REC + 5
+(R_WIN, R_NX, R_NY, R_NZ, R_T) = range(N_REC, N_REC_MESH)
+# Mesh-variant tile height: the ring grows by 5 rows and the MXU weight
+# table (~4 MB for the F1 car) must stay resident, so the tile halves
+# again vs the sphere kernel.  2-D image tiles (tile_rows x LANES pixels)
+# keep the cluster gates firing — a linear tile spans the image width and
+# defeats culling (measured on the forward kernel; see megamesh.py).
+MESH_TILE_ROWS = 16
+
 
 def _make_grad_kernel(n_spheres: int, width: int, height: int,
                       spp: int, max_depth: int, t_min: float,
@@ -142,12 +155,27 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                       has_metal: bool, has_diel: bool, has_emit: bool,
                       has_fuzz: bool, has_aperture: bool,
                       n_slots: int = MIN_SLOTS,
-                      tile_rows: int = TILE_ROWS):
+                      tile_rows: int = TILE_ROWS, mesh=None):
     """Backward kernel body; all config static.  NaN policy is always
     "zero" (order-invariant; see module docstring).  n_slots = record-ring
-    depth (>= max_depth for forward progress)."""
+    depth (>= max_depth for forward progress).
+
+    mesh = (n_chunks, chunk, chunk_box_ids, n_boxes, m_type) adds the
+    triangle scene: the fill loop runs megamesh's chunked MXU
+    Moller-Trumbore fold (per-row, cluster-AABB + entry-t gated) and the
+    ring stores the winner (code, raw normal, t); the reverse sweep
+    recovers a differentiable triangle hit from the stored plane —
+    t(o, d) = t_rec + plane(o, d) - sg(plane(o, d)) — so ray/camera/sphere
+    cotangents flow through mesh bounces while triangle geometry itself is
+    held fixed (interior vertex gradients stay on the jnp path,
+    tracer/soft.py for silhouettes).  Mesh material is uniform
+    (reference semantics) and read from the extended camera table's
+    C_MA_* slots as non-differentiated constants."""
     fi = {f: p for p, f in enumerate(DIFF_FIELDS)}
     ci = {c: p for p, c in enumerate(CAM_SLOTS)}
+    if mesh is not None:
+        n_chunks, chunk, chunk_box_ids, n_boxes, mesh_mtype = mesh
+        c4 = 4 * chunk
 
     def _intersect(sph_s, ox, oy, oz, dx, dy, dz, a, inv_a):
         """Closest-hit argmin over the sphere table (first-min ties, the
@@ -181,12 +209,20 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
               active, term_allowed, a0, a1, a2, a3, b0, b1,
               inv_a, inv_len, hit, best_t,
               scx, scy, scz, inv_r, alr, alg, alb,
-              fuzz_fn, ior_fn, invior_fn, mtype):
+              fuzz_fn, ior_fn, invior_fn, mtype, mesh_over=None):
         """Hit-point/normal/scatter/contribution given resolved winner
         fields — the differentiable tail shared by the fill bounce (loop
         gathers) and the reverse bounce (winner-only gathers).  Mirrors
         kernels/megakernel.py's body (gpu_kernel.cl:266-348 semantics)
         minus regeneration.
+
+        mesh_over (triangle-winner overrides, mesh variant only):
+        (is_tri, t_tri, raw normal x/y/z, albedo r/g/b, fuzz, ior,
+        inv_ior, mtype) — per-lane values that replace the sphere-gathered
+        fields on lanes whose closest hit is a triangle.  t_tri is the
+        caller's (possibly differentiable) triangle hit distance; the
+        normal is the stored geometric cross product (constant w.r.t. the
+        ray, the interior-derivative convention for flat triangles).
         """
         shape = ox.shape
 
@@ -194,6 +230,10 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             return cam_s[ci[slot]]
 
         zero = jnp.zeros(shape, jnp.float32)
+        if mesh_over is not None:
+            (is_tri, t_tri, mnx, mny, mnz, m_alr, m_alg, m_alb,
+             m_fuzz, m_ior, m_invior, m_mtype) = mesh_over
+            best_t = jnp.where(is_tri, t_tri, best_t)
         t_safe = jnp.where(hit, best_t, 1.0)
         hx = ox + t_safe * dx
         hy = oy + t_safe * dy
@@ -202,6 +242,20 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         nx = (hx - scx) * inv_r
         ny = (hy - scy) * inv_r
         nz = (hz - scz) * inv_r
+        if mesh_over is not None:
+            tinv = jax.lax.rsqrt(jnp.maximum(
+                _dot3(mnx, mny, mnz, mnx, mny, mnz), 1e-30))
+            nx = jnp.where(is_tri, mnx * tinv, nx)
+            ny = jnp.where(is_tri, mny * tinv, ny)
+            nz = jnp.where(is_tri, mnz * tinv, nz)
+            alr = jnp.where(is_tri, m_alr, alr)
+            alg = jnp.where(is_tri, m_alg, alg)
+            alb = jnp.where(is_tri, m_alb, alb)
+            mtype = jnp.where(is_tri, m_mtype, mtype)
+            s_fuzz, s_ior, s_invior = fuzz_fn, ior_fn, invior_fn
+            fuzz_fn = lambda: jnp.where(is_tri, m_fuzz, s_fuzz())
+            ior_fn = lambda: jnp.where(is_tri, m_ior, s_ior())
+            invior_fn = lambda: jnp.where(is_tri, m_invior, s_invior())
         front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
         sgn = jnp.where(front, 1.0, -1.0)
         nx = nx * sgn
@@ -264,10 +318,15 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 c_r, c_g, c_b, cont)
 
     def bounce_fn(cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz, tr, tg, tb,
-                  active, term_allowed, a0, a1, a2, a3, b0, b1):
+                  active, term_allowed, a0, a1, a2, a3, b0, b1,
+                  pre=None, mesh_over=None):
         """One full bounce (state -> state', contribution) — the FILL-loop
         path: intersection argmin + loop gathers + shade.  Runs outside
-        any vjp, so its O(n_spheres) intermediates carry no residuals."""
+        any vjp, so its O(n_spheres) intermediates carry no residuals.
+
+        pre = (best_t, best_i) skips the sphere argmin (the mesh fill
+        computes it outside, before the triangle fold); mesh_over adds the
+        triangle winner (see shade)."""
         shape = ox.shape
 
         def sv(field, i):
@@ -276,9 +335,14 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         a = _dot3(dx, dy, dz, dx, dy, dz)
         inv_a = 1.0 / a
         inv_len = jax.lax.rsqrt(a)
-        best_t, best_i = _intersect(sph_s, ox, oy, oz, dx, dy, dz,
-                                    a, inv_a)
+        if pre is None:
+            best_t, best_i = _intersect(sph_s, ox, oy, oz, dx, dy, dz,
+                                        a, inv_a)
+        else:
+            best_t, best_i = pre
         hit = best_t < BIG
+        if mesh_over is not None:
+            hit = hit | mesh_over[0]
 
         def gather(field, init=0.0):
             v = jnp.full(shape, init, jnp.float32)
@@ -299,11 +363,12 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                      lambda: gather(F_FUZZ),
                      lambda: gather(F_IOR),
                      lambda: gather(F_INVIOR, 1.0),
-                     mtype)
+                     mtype, mesh_over=mesh_over)
 
     def winner_bounce(cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz,
                       tr, tg, tb, active, term_allowed,
-                      a0, a1, a2, a3, b0, b1):
+                      a0, a1, a2, a3, b0, b1,
+                      rec_info=None, mesh_mat=None):
         """One bounce for the REVERSE sweep, restructured so its vjp
         carries O(1) tile-sized residuals in the sphere count.
 
@@ -318,7 +383,16 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         routes d(best_t) through the argmin winner only, and the loop's
         where-folds gave every non-winner branch an exactly-zero
         cotangent.  Without this, 100-sphere scenes overflow the 16 MB
-        scoped-VMEM limit (O(n_spheres) vjp residuals; measured)."""
+        scoped-VMEM limit (O(n_spheres) vjp residuals; measured).
+
+        rec_info (mesh variant) = (win_code, rnx, rny, rnz, t_rec) read
+        from the ring: the winner comes from the record instead of a
+        re-intersection (replaying the triangle fold per slot would
+        dominate), and triangle-winner lanes get a differentiable hit
+        via the stored plane: t(o, d) = t_rec + plane_t - sg(plane_t)
+        (primal exactly t_rec; derivative the ray-plane intersection's,
+        which is the exact interior derivative for a fixed triangle).
+        mesh_mat = the uniform mesh material scalars (constants)."""
         shape = ox.shape
         sg = jax.lax.stop_gradient
 
@@ -328,9 +402,28 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         a = _dot3(dx, dy, dz, dx, dy, dz)
         inv_a = 1.0 / a
         inv_len = jax.lax.rsqrt(a)
-        sph_p = tuple(tuple(sg(s) for s in row) for row in sph_s)
-        _, best_i = _intersect(sph_p, sg(ox), sg(oy), sg(oz),
-                               sg(dx), sg(dy), sg(dz), sg(a), sg(inv_a))
+        mesh_over = None
+        if rec_info is not None:
+            win_code, rnx, rny, rnz, t_rec = rec_info
+            is_tri = win_code == jnp.float32(n_spheres)
+            hit_sph = (win_code >= 0.0) & ~is_tri
+            best_i = win_code.astype(jnp.int32)
+            nd = _dot3(rnx, rny, rnz, dx, dy, dz)
+            nd_s = jnp.where(is_tri, nd, 1.0)
+            n_o = _dot3(rnx, rny, rnz, ox, oy, oz)
+            c_pl = sg(n_o + t_rec * nd_s)
+            t_plane = (c_pl - n_o) / nd_s
+            t_tri = t_rec + (t_plane - sg(t_plane))
+            (m_alr, m_alg, m_alb, m_fuzz, m_ior, m_invior,
+             m_mtype) = mesh_mat
+            mesh_over = (is_tri, t_tri, rnx, rny, rnz,
+                         m_alr, m_alg, m_alb, m_fuzz, m_ior, m_invior,
+                         m_mtype)
+        else:
+            sph_p = tuple(tuple(sg(s) for s in row) for row in sph_s)
+            _, best_i = _intersect(sph_p, sg(ox), sg(oy), sg(oz),
+                                   sg(dx), sg(dy), sg(dz), sg(a),
+                                   sg(inv_a))
 
         def wgather(field, init=0.0):
             v = jnp.full(shape, init, jnp.float32)
@@ -362,7 +455,13 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         t_w = jnp.where(ok0, r0, jnp.where(ok1, r1, BIG))
         # a lane hit iff its winner's root is valid: for non-hit lanes
         # every sphere's t_i was BIG, including best_i's (= sphere 0)
-        hit = t_w < BIG
+        if rec_info is not None:
+            # the record already says who won; t_w is only meaningful on
+            # sphere-winner lanes (shade overrides triangle lanes and
+            # ignores best_t on miss lanes)
+            hit = hit_sph | is_tri
+        else:
+            hit = t_w < BIG
         best_t = t_w
 
         return shade(cam_s, ox, oy, oz, dx, dy, dz, tr, tg, tb,
@@ -373,18 +472,41 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                      lambda: wgather(F_FUZZ),
                      lambda: wgather(F_IOR),
                      lambda: wgather(F_INVIOR, 1.0),
-                     mtype)
+                     mtype, mesh_over=mesh_over)
 
-    def kernel(off_ref, cam_ref, sph_ref, gr_ref, gg_ref, gb_ref,
-               gcam_ref, gsph_ref, st, rec, gacc):
-        tile = pl.program_id(0)
+    def kernel(*refs):
         shape = (tile_rows, LANES)
-        lin = (off_ref[0, 0] + tile * (tile_rows * LANES)
-               + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
-               + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        if mesh is not None:
+            (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
+             gr_ref, gg_ref, gb_ref, gcam_ref, gsph_ref,
+             st, rec, gacc, tri_sc) = refs
+            # 2-D image tiles (tile_rows x LANES PIXELS): spatially compact
+            # tiles are what make the cluster gates fire (megamesh lesson)
+            ti = pl.program_id(0)
+            tj = pl.program_id(1)
+            first_tile = (ti == 0) & (tj == 0)
+            px_i = (tj * LANES
+                    + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+            py_i = (off_ref[0, 0] + ti * tile_rows
+                    + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+            # padding lanes (beyond the image/block) never trace: their
+            # sample counter starts exhausted via pix_valid
+            pix_valid = (px_i < width) & (py_i < off_ref[0, 3])
+            lin = py_i * width + px_i
+        else:
+            (off_ref, cam_ref, sph_ref, gr_ref, gg_ref, gb_ref,
+             gcam_ref, gsph_ref, st, rec, gacc) = refs
+            tile = pl.program_id(0)
+            first_tile = tile == 0
+            lin = (off_ref[0, 0] + tile * (tile_rows * LANES)
+                   + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+                   + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+            pix_valid = None
+            px_i = lin % width
+            py_i = lin // width
         pix_u = lin.astype(_U32)
-        px = (lin % width).astype(jnp.float32)
-        py = (lin // width).astype(jnp.float32)
+        px = px_i.astype(jnp.float32)
+        py = py_i.astype(jnp.float32)
         sample_base = off_ref[0, 2]
         seed_arr = jnp.zeros(shape, _U32) + off_ref[0, 1].astype(_U32)
         zero = jnp.zeros(shape, jnp.float32)
@@ -397,8 +519,19 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         sph_s = tuple(tuple(sph_ref[f, i] for i in range(n_spheres))
                       for f in DIFF_FIELDS)
         mtypes = tuple(sph_ref[F_TYPE, i] for i in range(n_spheres))
+        if mesh is not None:
+            # uniform mesh material (extended camera-table slots) — held
+            # constant (not vjp primals; see factory docstring)
+            from .megamesh import (C_MA_R, C_MA_G, C_MA_B, C_M_FUZZ,
+                                   C_M_IOR, C_M_INVIOR)
+            m_alr = cam_ref[0, C_MA_R]
+            m_alg = cam_ref[0, C_MA_G]
+            m_alb = cam_ref[0, C_MA_B]
+            m_fuzz = cam_ref[0, C_M_FUZZ]
+            m_ior = cam_ref[0, C_M_IOR]
+            m_invior = cam_ref[0, C_M_INVIOR]
 
-        @pl.when(tile == 0)
+        @pl.when(first_tile)
         def _init_out():
             gcam_ref[...] = jnp.zeros_like(gcam_ref)
             gsph_ref[...] = jnp.zeros_like(gsph_ref)
@@ -474,7 +607,161 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                        jnp.zeros_like(pix_u))
             return camera_ray_fn(cam_s, u0, u1, u2, u3)
 
-        st[S_S] = zero
+        if mesh is not None:
+            def tri_fold(active, sph_best_t):
+                """Chunked MXU Moller-Trumbore fold over the current fill
+                ray (st rows) — megamesh's gated per-row fold (cluster
+                AABBs + top-box gate + entry-t against the running best,
+                the reference's HitAnything triangle loop,
+                gpu_kernel.cl:374-391).  Leaves best tri t in tri_sc[0]
+                and the raw winner normal in tri_sc[1:4]."""
+                ox = st[S_OX]
+                oy = st[S_OY]
+                oz = st[S_OZ]
+                dx = st[S_DX]
+                dy = st[S_DY]
+                dz = st[S_DZ]
+                tri_sc[0] = jnp.full(shape, BIG)
+                tri_sc[1] = zero
+                tri_sc[2] = zero
+                tri_sc[3] = zero + 1.0      # safe nonzero normal
+                if n_chunks == 0:
+                    return
+                tri_sc[4] = oy * dz - oz * dy
+                tri_sc[5] = oz * dx - ox * dz
+                tri_sc[6] = ox * dy - oy * dx
+                inv_dx = 1.0 / dx
+                inv_dy = 1.0 / dy
+                inv_dz = 1.0 / dz
+
+                def slab(bref, b):
+                    t1x = (bref[b, 0] - ox) * inv_dx
+                    t2x = (bref[b, 3] - ox) * inv_dx
+                    t1y = (bref[b, 1] - oy) * inv_dy
+                    t2y = (bref[b, 4] - oy) * inv_dy
+                    t1z = (bref[b, 2] - oz) * inv_dz
+                    t2z = (bref[b, 5] - oz) * inv_dz
+                    lo = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                                 jnp.minimum(t1y, t2y)),
+                                     jnp.minimum(t1z, t2z))
+                    hi = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                                 jnp.maximum(t1y, t2y)),
+                                     jnp.maximum(t1z, t2z))
+                    return hi > jnp.maximum(lo, 0.0), lo
+
+                box_hits = [slab(box_ref, b)[0] & active
+                            for b in range(n_boxes)]
+                top_any = jnp.max(sum(bh.astype(jnp.int32)
+                                      for bh in box_hits))
+
+                @pl.when(top_any > 0)
+                def _mesh():
+                    ones_row = jnp.ones((1, LANES), jnp.float32)
+                    zeros_rows = jnp.zeros((6, LANES), jnp.float32)
+                    for ci_ in range(n_chunks):
+                        cl_hit, cl_lo = slab(aabb_ref, ci_)
+                        m_c = (cl_hit & box_hits[chunk_box_ids[ci_]]
+                               & (cl_lo < jnp.minimum(sph_best_t,
+                                                      tri_sc[0])))
+                        tri_sc[7] = m_c.astype(jnp.float32)
+                        s_c = jnp.max(m_c.astype(jnp.int32))
+
+                        @pl.when(s_c > 0)
+                        def _chunk(ci_=ci_):
+                            w = w_ref[:, ci_ * c4:(ci_ + 1) * c4]
+                            n_cols = w_ref[6:9,
+                                           ci_ * c4 + 3 * chunk:
+                                           ci_ * c4 + 4 * chunk]
+
+                            def row(r, _):
+                                r1 = pl.ds(r, 1)
+                                row_any = jnp.max(tri_sc[7, r1, :])
+
+                                @pl.when(row_any > 0.0)
+                                def _row_body():
+                                    f = jnp.concatenate([
+                                        st[S_DX, r1, :], st[S_DY, r1, :],
+                                        st[S_DZ, r1, :],
+                                        tri_sc[4, r1, :],
+                                        tri_sc[5, r1, :],
+                                        tri_sc[6, r1, :],
+                                        st[S_OX, r1, :], st[S_OY, r1, :],
+                                        st[S_OZ, r1, :],
+                                        ones_row, zeros_rows], axis=0)
+                                    prod = jax.lax.dot_general(
+                                        w, f, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                                    aa = prod[0 * chunk:1 * chunk, :]
+                                    u_num = prod[1 * chunk:2 * chunk, :]
+                                    v_num = prod[2 * chunk:3 * chunk, :]
+                                    t_num = prod[3 * chunk:4 * chunk, :]
+                                    # division-free scaled MT + improve
+                                    # gate (see megamesh._intersect_row)
+                                    sgn_a = jnp.sign(aa)
+                                    abs_a = aa * sgn_a
+                                    us = u_num * sgn_a
+                                    vs = v_num * sgn_a
+                                    ts = t_num * sgn_a
+                                    gate = tri_sc[7, r1, :] > 0.0
+                                    old = tri_sc[0, r1, :]
+                                    m3 = jnp.minimum(jnp.minimum(us, vs),
+                                                     abs_a - (us + vs))
+                                    imp = ((abs_a >= 1e-5)
+                                           & (m3 >= 0.0)
+                                           & (ts > t_min * abs_a)
+                                           & (ts < old * abs_a)
+                                           & gate)
+                                    any_imp = jnp.max(imp.astype(jnp.int32))
+
+                                    @pl.when(any_imp > 0)
+                                    def _extract():
+                                        ra = pl.reciprocal(
+                                            jnp.maximum(abs_a, 1e-30),
+                                            approx=True)
+                                        ra = ra * (2.0 - abs_a * ra)
+                                        tt = jnp.where(imp, ts * ra, BIG)
+                                        ct_a = jnp.min(tt, axis=0,
+                                                       keepdims=True)
+                                        ai = jnp.argmin(tt, axis=0)
+                                        oh = (jax.lax.broadcasted_iota(
+                                            jnp.int32, (chunk, LANES), 0)
+                                            == ai[None, :]
+                                        ).astype(jnp.float32)
+                                        nrm = jax.lax.dot_general(
+                                            n_cols, oh,
+                                            (((1,), (0,)), ((), ())),
+                                            preferred_element_type=(
+                                                jnp.float32))
+                                        ts_w = jnp.sum(ts * oh, axis=0,
+                                                       keepdims=True)
+                                        aa_w = jnp.sum(abs_a * oh, axis=0,
+                                                       keepdims=True)
+                                        ra_w = pl.reciprocal(
+                                            jnp.maximum(aa_w, 1e-30),
+                                            approx=True)
+                                        ra_w = ra_w * (2.0 - aa_w * ra_w)
+                                        ra_w = ra_w * (2.0 - aa_w * ra_w)
+                                        ct = jnp.where(ct_a < BIG,
+                                                       ts_w * ra_w, BIG)
+                                        upd = ct < old
+                                        tri_sc[0, r1, :] = jnp.where(
+                                            upd, ct, old)
+                                        tri_sc[1, r1, :] = jnp.where(
+                                            upd, nrm[0:1, :],
+                                            tri_sc[1, r1, :])
+                                        tri_sc[2, r1, :] = jnp.where(
+                                            upd, nrm[1:2, :],
+                                            tri_sc[2, r1, :])
+                                        tri_sc[3, r1, :] = jnp.where(
+                                            upd, nrm[2:3, :],
+                                            tri_sc[3, r1, :])
+                                return 0
+
+                            jax.lax.fori_loop(0, tile_rows, row, 0)
+
+            st[S_S] = jnp.where(pix_valid, 0.0, spp_f)
+        else:
+            st[S_S] = zero
 
         def round_cond(c):
             _, any_left = c
@@ -527,11 +814,34 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 rec[R_K, rows, :] = jnp.where(active, k_f, -1.0)
                 a0, a1, a2, a3, b0, b1 = draws(s_to_u(s_f), k_f)
                 term_allowed = k_f + 1.0 < jnp.float32(max_depth)
+                pre = None
+                mesh_over = None
+                if mesh is not None:
+                    a_q = _dot3(dx, dy, dz, dx, dy, dz)
+                    best_t, best_i = _intersect(
+                        sph_s, ox, oy, oz, dx, dy, dz, a_q, 1.0 / a_q)
+                    tri_fold(active, best_t)
+                    tri_t = tri_sc[0]
+                    tri_win = tri_t < best_t
+                    win_code = jnp.where(
+                        tri_win, jnp.float32(n_spheres),
+                        jnp.where(best_t < BIG,
+                                  best_i.astype(jnp.float32), -1.0))
+                    rec[R_WIN, rows, :] = win_code
+                    rec[R_NX, rows, :] = tri_sc[1]
+                    rec[R_NY, rows, :] = tri_sc[2]
+                    rec[R_NZ, rows, :] = tri_sc[3]
+                    rec[R_T, rows, :] = jnp.where(tri_win, tri_t, 0.0)
+                    pre = (best_t, best_i)
+                    mesh_over = (tri_win, tri_t,
+                                 tri_sc[1], tri_sc[2], tri_sc[3],
+                                 m_alr, m_alg, m_alb, m_fuzz, m_ior,
+                                 m_invior, jnp.float32(mesh_mtype))
                 (o2x, o2y, o2z, d2x, d2y, d2z, t2r, t2g, t2b,
                  _, _, _, cont) = bounce_fn(
                     cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz,
                     tr, tg, tb, active, term_allowed,
-                    a0, a1, a2, a3, b0, b1)
+                    a0, a1, a2, a3, b0, b1, pre=pre, mesh_over=mesh_over)
                 term = active & ~cont
                 s_new = jnp.where(term, s_f + 1.0, s_f)
                 regen = term & (s_new < spp_f)
@@ -585,12 +895,21 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 s_u = s_to_u(s_rec)
                 a0, a1, a2, a3, b0, b1 = draws(s_u, k_safe)
                 term_allowed = k_safe + 1.0 < jnp.float32(max_depth)
+                if mesh is not None:
+                    rec_info = (rec[R_WIN, rows, :], rec[R_NX, rows, :],
+                                rec[R_NY, rows, :], rec[R_NZ, rows, :],
+                                rec[R_T, rows, :])
+                    mesh_mat = (m_alr, m_alg, m_alb, m_fuzz, m_ior,
+                                m_invior, jnp.float32(mesh_mtype))
+                else:
+                    rec_info = mesh_mat = None
 
                 def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz, tr, tg, tb):
                     out = winner_bounce(cam_t, sph_t, mtypes, ox, oy, oz,
                                         dx, dy, dz, tr, tg, tb, alive,
                                         term_allowed, a0, a1, a2, a3,
-                                        b0, b1)
+                                        b0, b1, rec_info=rec_info,
+                                        mesh_mat=mesh_mat)
                     return out[:12]          # drop the bool cont
 
                 _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
@@ -761,6 +1080,93 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
     return gcam, gsph
 
 
+def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
+                            n_spheres, sky_kind, cfg, g_img, seed,
+                            sample_base, n_samples, flags, interpret,
+                            row_base=None, full_height=None):
+    """Mesh-variant dispatch: 2-D image tiles (MESH_TILE_ROWS x LANES
+    pixels — spatial compactness keeps the in-kernel cluster gates
+    firing), VMEM-resident triangle weight table, ring with winner
+    records.  row_base (traced i32) positions this g_img block's first
+    ROW in the global image (sharded row blocks)."""
+    has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags[:5]
+    h, w = g_img.shape[0], g_img.shape[1]
+    block_rows = g_img.shape[0]
+    if full_height is not None:
+        h = full_height
+
+    n_slots = max(MIN_SLOTS, cfg.max_depth)
+    tile_rows = MESH_TILE_ROWS
+    kernel = _make_grad_kernel(
+        n_spheres=n_spheres, width=w, height=h,
+        spp=n_samples, max_depth=cfg.max_depth, t_min=cfg.t_min,
+        sky_kind=sky_kind, clamp_samples=cfg.clamp_samples,
+        has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
+        has_fuzz=has_fuzz, has_aperture=has_aperture, n_slots=n_slots,
+        tile_rows=tile_rows, mesh=mesh)
+
+    n_tr = -(-block_rows // tile_rows)
+    n_tc = -(-w // LANES)
+    hp, wp = n_tr * tile_rows, n_tc * LANES
+    g = jnp.pad(g_img, ((0, hp - block_rows), (0, wp - w), (0, 0)))
+    g = g.transpose(2, 0, 1)                     # (3, hp, wp)
+
+    row0 = (jnp.int32(0) if row_base is None
+            else jnp.asarray(row_base, jnp.int32))
+    gcam, gsph = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32)],
+        grid=(n_tr, n_tc),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, w_flat.shape[1]), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # top boxes
+        ] + [pl.BlockSpec((tile_rows, LANES), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM) for _ in range(3)],
+        out_specs=[
+            pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((N_REC_MESH, n_slots * tile_rows, LANES),
+                       jnp.float32),
+            pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
+            pltpu.VMEM((8, tile_rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.stack([row0, jnp.int32(seed), jnp.int32(sample_base),
+                 row0 + jnp.int32(block_rows)]).reshape(1, 4),
+      cam_tab, sph_tab, w_flat, aabb, boxes, g[0], g[1], g[2])
+    return gcam, gsph
+
+
+def supports_grad_mesh(scene: Scene, cfg: RenderConfig) -> bool:
+    """Mesh scenes the backward kernel covers: triangles with one uniform
+    material behind >= 1 gating box (reference semantics,
+    gpu_kernel.cl:374-391), gradient/constant sky, <= GRAD_MAX_SPHERES
+    spheres.  Triangle GEOMETRY is held fixed: the Scene cotangent's
+    triangle leaves come back zero (interior vertex gradients live on the
+    jnp VJP, silhouette gradients in tracer/soft.py) — callers that fit
+    triangle parameters must use the jnp path."""
+    from .megamesh import _mesh_uniform_material
+    return (scene.triangles.count > 0
+            and scene.boxes.count >= 1
+            and scene.sky.kind in (KIND_GRADIENT, KIND_CONST)
+            and scene.spheres.count <= GRAD_MAX_SPHERES
+            and _mesh_uniform_material(scene) is not None)
+
+
 def render_grad_scene(scene: Scene, cfg: RenderConfig, g_img, seed,
                       interpret: bool = False):
     """Scene-pytree cotangent for image cotangent g_img (H, W, 3).
@@ -770,7 +1176,21 @@ def render_grad_scene(scene: Scene, cfg: RenderConfig, g_img, seed,
     differentiable table builders.  The inner call is jitted (the Pallas
     kernel trace alone costs seconds); flags need the concrete scene, so
     they are derived out here.
+
+    Mesh scenes (supports_grad_mesh) run the mesh variant: sphere /
+    camera / const-sky cotangents flow through triangle bounces; the
+    triangle leaves of the returned cotangent are zero (geometry held
+    fixed — see supports_grad_mesh).
     """
+    if scene.triangles.count > 0:
+        from ..tracer.clusters import plan_for_scene
+        from .megamesh import MESH_CHUNK, specialize_mesh_flags
+        assert supports_grad_mesh(scene, cfg), \
+            "scene outside mesh grad-kernel scope"
+        plan = plan_for_scene(scene, MESH_CHUNK)
+        mf = specialize_mesh_flags(scene)
+        return _grad_scene_mesh_jit(scene, cfg, g_img, jnp.int32(seed),
+                                    mf[:5], mf[5], plan, interpret)
     flags = specialize_flags(scene)
     return _grad_scene_jit(scene, cfg, g_img, jnp.int32(seed), flags,
                            interpret)
@@ -789,5 +1209,32 @@ def _grad_scene_jit(scene, cfg, g_img, seed, flags, interpret):
         cam_tab, sph_tab, scene.spheres.count, scene.sky.kind, cfg,
         g_img / jnp.float32(cfg.spp), seed, jnp.int32(0),
         cfg.spp, flags, interpret)
+    (s_bar,) = build_vjp((gcam, gsph))
+    return s_bar
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "flags", "m_type",
+                                             "plan", "interpret"))
+def _grad_scene_mesh_jit(scene, cfg, g_img, seed, flags, m_type, plan,
+                         interpret):
+    from .megamesh import _mesh_camera_table, _mesh_tables
+
+    def build(s):
+        return _mesh_camera_table(s), _sphere_table(s)
+
+    (cam_tab, sph_tab), build_vjp = jax.vjp(build, scene)
+    # triangle tables are built OUTSIDE the vjp: their dependence on the
+    # scene is deliberately dropped (geometry held fixed).  The C_MA_*
+    # slots of the mesh camera table are never accumulated by the kernel,
+    # so build_vjp returns exactly-zero cotangents for the triangle
+    # material leaves too.
+    w_flat, aabb, boxes, n_chunks, chunk, bids = _mesh_tables(
+        jax.lax.stop_gradient(scene), plan)
+    gcam, gsph = _grad_tables_mesh_inner(
+        cam_tab, sph_tab, w_flat, aabb, boxes,
+        (n_chunks, chunk, bids, max(1, scene.boxes.count), m_type),
+        scene.spheres.count, scene.sky.kind, cfg,
+        g_img / jnp.float32(cfg.spp), seed, jnp.int32(0), cfg.spp,
+        flags, interpret)
     (s_bar,) = build_vjp((gcam, gsph))
     return s_bar

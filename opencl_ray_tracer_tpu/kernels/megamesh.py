@@ -842,8 +842,13 @@ def supports_mesh(scene: Scene, cfg: RenderConfig) -> bool:
     return True
 
 
-def specialize_mesh_flags(scene: Scene):
-    """Static specialization for the fused kernel (concrete scene only)."""
+def specialize_mesh_flags(scene: Scene, conservative: bool = False):
+    """Static specialization for the fused kernel (concrete scene only).
+
+    conservative = value-independent flags (see
+    megakernel.specialize_flags): fuzz/aperture paths compiled
+    unconditionally, fold-spec masks cover every relevant sphere — one
+    compilation stays correct as fitted float parameters drift."""
     types = np.asarray(scene.spheres.mat_type)
     fuzz = np.asarray(scene.spheres.fuzz)
     aperture = float(np.asarray(scene.camera.aperture_deg))
@@ -855,16 +860,21 @@ def specialize_mesh_flags(scene: Scene):
                 or m_type == mat.DIELECTRIC)
     has_emit = (bool((types == mat.EMISSIVE).any())
                 or m_type == mat.EMISSIVE)
-    s_fuzz = bool((fuzz[types == mat.METAL] > 0).any()) \
-        if (types == mat.METAL).any() else False
-    has_fuzz = s_fuzz or (m_type == mat.METAL and m_fuzz > 0)
+    if conservative:
+        has_fuzz = has_metal
+        has_aperture = True
+    else:
+        s_fuzz = bool((fuzz[types == mat.METAL] > 0).any()) \
+            if (types == mat.METAL).any() else False
+        has_fuzz = s_fuzz or (m_type == mat.METAL and m_fuzz > 0)
+        has_aperture = aperture > 0.0
     sph_plan = None
     if scene.spheres.count >= SPHERE_GATE_MIN:
         sph_plan = sphere_chunk_plan(scene, SPHERE_CHUNK_SIZE)
     perm = sph_plan[0] if sph_plan is not None else None
-    spec = (_sphere_fold_spec(scene, perm) if scene.spheres.count > 0
-            else None)
-    return (has_metal, has_diel, has_emit, has_fuzz, aperture > 0.0,
+    spec = (_sphere_fold_spec(scene, perm, conservative=conservative)
+            if scene.spheres.count > 0 else None)
+    return (has_metal, has_diel, has_emit, has_fuzz, has_aperture,
             m_type, spec, sph_plan)
 
 

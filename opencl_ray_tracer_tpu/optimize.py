@@ -102,9 +102,19 @@ def fit_scene(
         loss_fn = lambda img: jnp.mean((img - target) ** 2)
 
     use_pallas = False
+    mesh_fit = False
     if grad_backend in ("auto", "pallas") and not soft:
-        from .kernels.megagrad import supports_grad
-        in_scope = supports_grad(init_scene, dcfg)
+        from .kernels.megagrad import supports_grad, supports_grad_mesh
+        if init_scene.triangles.count > 0:
+            # the mesh grad kernel holds triangle geometry fixed, so it is
+            # only eligible when no triangle parameter is being fitted
+            fits_tris = any(p.startswith("triangles.")
+                            for p in param_paths)
+            in_scope = (supports_grad_mesh(init_scene, dcfg)
+                        and not fits_tris)
+            mesh_fit = True
+        else:
+            in_scope = supports_grad(init_scene, dcfg)
         if grad_backend == "pallas":
             assert in_scope, "fit_scene: scene outside pallas grad scope"
             use_pallas = True
@@ -116,23 +126,48 @@ def fit_scene(
     opt_state = opt.init(params)
 
     if use_pallas:
-        from .kernels.megagrad import _grad_scene_jit
-        from .kernels.megakernel import (render_pallas_inner,
-                                         specialize_flags)
         interp = pallas_interpret or jax.default_backend() != "tpu"
         # the kernel's NaN policy for sample contributions is the
         # order-invariant "zero" (as render_grad_sampled's chunks)
         gcfg = dcfg.replace(nan_policy="zero")
-        flags = specialize_flags(init_scene, conservative=True)
+        if mesh_fit:
+            from .kernels.megagrad import _grad_scene_mesh_jit
+            from .kernels.megamesh import (MESH_CHUNK,
+                                           render_pallas_mesh_inner,
+                                           specialize_mesh_flags)
+            from .tracer.clusters import plan_for_scene
+            plan = plan_for_scene(init_scene, MESH_CHUNK)
+            mflags = specialize_mesh_flags(init_scene, conservative=True)
+
+            def fwd(scene, step_seed):
+                return render_pallas_mesh_inner(
+                    scene, gcfg, step_seed, interp, mflags, plan,
+                    gcfg.height, 0)
+
+            def bwd(scene, g_img, step_seed):
+                return _grad_scene_mesh_jit(scene, gcfg, g_img, step_seed,
+                                            mflags[:5], mflags[5], plan,
+                                            interp)
+        else:
+            from .kernels.megagrad import _grad_scene_jit
+            from .kernels.megakernel import (render_pallas_inner,
+                                             specialize_flags)
+            flags = specialize_flags(init_scene, conservative=True)
+
+            def fwd(scene, step_seed):
+                return render_pallas_inner(scene, gcfg, step_seed, interp,
+                                           flags, gcfg.height, 0)
+
+            def bwd(scene, g_img, step_seed):
+                return _grad_scene_jit(scene, gcfg, g_img, step_seed,
+                                       flags, interp)
 
         @jax.jit
         def step_fn(params, opt_state, step_seed):
             scene = insert_params(init_scene, params)
-            img = render_pallas_inner(scene, gcfg, step_seed, interp,
-                                      flags, gcfg.height, 0)
+            img = fwd(scene, step_seed)
             loss, g_img = jax.value_and_grad(loss_fn)(img)
-            s_bar = _grad_scene_jit(scene, gcfg, g_img, step_seed, flags,
-                                    interp)
+            s_bar = bwd(scene, g_img, step_seed)
             grads = {p: _get_path(s_bar, p) for p in param_paths}
             if param_mask is not None:
                 grads = {k: g * jnp.asarray(param_mask[k], g.dtype)

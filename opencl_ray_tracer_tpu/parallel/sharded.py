@@ -132,22 +132,38 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
     the (camera, sphere) table cotangents are psum-reduced over the whole
     mesh (the ICI all-reduce the reference has no analog for) and chained
     through the differentiable table builders once, replicated.  Scene
-    scope = megagrad.supports_grad; sample axis must be 1 (the wavefront
-    kernel owns the whole sample loop).  Per-shard accumulation order
-    differs from the single-chip kernel's sequential tile loop, so
-    gradients match single-chip to f32 reduction tolerance (the image
-    itself stays bit-identical — counter RNG)."""
-    from ..kernels.megagrad import (_grad_tables_inner, supports_grad)
+    scope = megagrad.supports_grad, or supports_grad_mesh for triangle
+    scenes (triangle geometry held fixed — zero triangle cotangents; see
+    kernels/megagrad.py).  Sample axis must be 1 (the wavefront kernel
+    owns the whole sample loop).  Per-shard accumulation order differs
+    from the single-chip kernel's sequential tile loop, so gradients
+    match single-chip to f32 reduction tolerance (the image itself stays
+    bit-identical — counter RNG)."""
+    from ..kernels.megagrad import (_grad_tables_inner,
+                                    _grad_tables_mesh_inner, supports_grad,
+                                    supports_grad_mesh)
     from ..kernels.megakernel import (_camera_table, _sphere_table,
                                       specialize_flags)
 
     n_tile, n_sample = _check(cfg, mesh)
     assert n_sample == 1, "sharded grad: sample axis must be 1"
-    assert supports_grad(scene, cfg), "scene outside megagrad scope"
+    has_tris = scene.triangles.count > 0
     rows_per = cfg.height // n_tile
-    flags = specialize_flags(scene)
     n_spheres = scene.spheres.count
     sky_kind = scene.sky.kind
+    if has_tris:
+        assert supports_grad_mesh(scene, cfg), \
+            "scene outside mesh grad-kernel scope"
+        from ..kernels.megamesh import (MESH_CHUNK, _mesh_camera_table,
+                                        _mesh_tables, specialize_mesh_flags)
+        from ..tracer.clusters import plan_for_scene
+        plan = plan_for_scene(scene, MESH_CHUNK)
+        mflags = specialize_mesh_flags(scene)
+        flags = mflags[:5]
+        m_type = mflags[5]
+    else:
+        assert supports_grad(scene, cfg), "scene outside megagrad scope"
+        flags = specialize_flags(scene)
 
     use_pallas = jax.default_backend() == "tpu" or pallas_interpret
     img = render_sharded(scene, cfg, mesh, seed, use_pallas=use_pallas,
@@ -155,9 +171,37 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
     loss, g_img = jax.value_and_grad(loss_fn)(img)
 
     def build(s):
+        if has_tris:
+            return _mesh_camera_table(s), _sphere_table(s)
         return _camera_table(s), _sphere_table(s)
 
     (cam_tab, sph_tab), build_vjp = jax.vjp(build, scene)
+
+    if has_tris:
+        w_flat, aabb, boxes, n_chunks, chunk, bids = _mesh_tables(
+            jax.lax.stop_gradient(scene), plan)
+        mesh_static = (n_chunks, chunk, bids, max(1, scene.boxes.count),
+                       m_type)
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(TILE_AXIS, None, None)),
+            out_specs=(P(), P()), check_vma=False)
+        def _grad(cam_t, sph_t, w_t, aabb_t, box_t, g):
+            ti = jax.lax.axis_index(TILE_AXIS)
+            gcam, gsph = _grad_tables_mesh_inner(
+                cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
+                n_spheres, sky_kind, cfg, g, jnp.int32(seed),
+                jnp.int32(0), cfg.spp, flags, pallas_interpret,
+                row_base=ti * rows_per, full_height=cfg.height)
+            gcam = jax.lax.psum(gcam, (TILE_AXIS, SAMPLE_AXIS))
+            gsph = jax.lax.psum(gsph, (TILE_AXIS, SAMPLE_AXIS))
+            return gcam, gsph
+
+        gcam, gsph = _grad(cam_tab, sph_tab, w_flat, aabb, boxes,
+                           g_img / jnp.float32(cfg.spp))
+        (s_bar,) = build_vjp((gcam, gsph))
+        return loss, img, s_bar
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -240,31 +284,66 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
                             template_scene, pallas_interpret):
     """Megakernel fwd + backward-megakernel bwd per tile shard; table
     cotangents psum over the mesh, chained through the differentiable
-    table builders and insert_params once, replicated."""
-    from ..kernels.megagrad import _grad_tables_inner, supports_grad
+    table builders and insert_params once, replicated.  Templates with
+    triangles use the mesh kernels (triangle geometry held fixed — the
+    fitted params must not include triangle fields)."""
+    from ..kernels.megagrad import (_grad_tables_inner,
+                                    _grad_tables_mesh_inner, supports_grad,
+                                    supports_grad_mesh)
     from ..kernels.megakernel import (_camera_table, _sphere_table,
                                       render_pallas_inner, specialize_flags)
 
     assert template_scene is not None, \
         "grad_backend='pallas' needs template_scene"
     gcfg = cfg.replace(early_stop=False, nan_policy="zero")
-    assert supports_grad(template_scene, gcfg), \
-        "template scene outside megagrad scope"
+    has_tris = template_scene.triangles.count > 0
     n_tile, n_sample = _check(gcfg, mesh)
     assert n_sample == 1, "pallas train step: sample axis must be 1"
     rows_per = gcfg.height // n_tile
-    flags = specialize_flags(template_scene, conservative=True)
     n_spheres = template_scene.spheres.count
     sky_kind = template_scene.sky.kind
     interp = pallas_interpret or jax.default_backend() != "tpu"
 
-    @functools.partial(
-        shard_map, mesh=mesh, in_specs=(P(), P()),
-        out_specs=P(TILE_AXIS, None, None), check_vma=False)
-    def _fwd(scene, sd):
-        ti = jax.lax.axis_index(TILE_AXIS)
-        return render_pallas_inner(scene, gcfg, sd, interp, flags,
-                                   rows_per, ti * (rows_per * gcfg.width))
+    if has_tris:
+        assert supports_grad_mesh(template_scene, gcfg), \
+            "template scene outside mesh grad-kernel scope"
+        from ..kernels.megamesh import (MESH_CHUNK, _mesh_camera_table,
+                                        _mesh_tables,
+                                        render_pallas_mesh_inner,
+                                        specialize_mesh_flags)
+        from ..tracer.clusters import plan_for_scene
+        plan = plan_for_scene(template_scene, MESH_CHUNK)
+        mflags = specialize_mesh_flags(template_scene, conservative=True)
+        flags = mflags[:5]
+        m_type = mflags[5]
+
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(P(), P()),
+            out_specs=P(TILE_AXIS, None, None), check_vma=False)
+        def _fwd(scene, sd):
+            ti = jax.lax.axis_index(TILE_AXIS)
+            return render_pallas_mesh_inner(
+                scene, gcfg, sd, interp, mflags, plan, rows_per,
+                ti * (rows_per * gcfg.width))
+
+        def build(s):
+            return _mesh_camera_table(s), _sphere_table(s)
+    else:
+        assert supports_grad(template_scene, gcfg), \
+            "template scene outside megagrad scope"
+        flags = specialize_flags(template_scene, conservative=True)
+
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(P(), P()),
+            out_specs=P(TILE_AXIS, None, None), check_vma=False)
+        def _fwd(scene, sd):
+            ti = jax.lax.axis_index(TILE_AXIS)
+            return render_pallas_inner(
+                scene, gcfg, sd, interp, flags, rows_per,
+                ti * (rows_per * gcfg.width))
+
+        def build(s):
+            return _camera_table(s), _sphere_table(s)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -281,20 +360,44 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
         gsph = jax.lax.psum(gsph, (TILE_AXIS, SAMPLE_AXIS))
         return gcam, gsph
 
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(TILE_AXIS, None, None), P()),
+        out_specs=(P(), P()), check_vma=False)
+    def _bwd_mesh(cam_t, sph_t, w_t, aabb_t, box_t, g, sd):
+        ti = jax.lax.axis_index(TILE_AXIS)
+        gcam, gsph = _grad_tables_mesh_inner(
+            cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
+            n_spheres, sky_kind, gcfg, g, jnp.int32(sd),
+            jnp.int32(0), gcfg.spp, flags, interp,
+            row_base=ti * rows_per, full_height=gcfg.height)
+        gcam = jax.lax.psum(gcam, (TILE_AXIS, SAMPLE_AXIS))
+        gsph = jax.lax.psum(gsph, (TILE_AXIS, SAMPLE_AXIS))
+        return gcam, gsph
+
+    if has_tris:
+        w_flat0, aabb0, boxes0, n_chunks, chunk, bids = _mesh_tables(
+            jax.lax.stop_gradient(template_scene), plan)
+        mesh_static = (n_chunks, chunk, bids,
+                       max(1, template_scene.boxes.count), m_type)
+
     def step(params, opt_state, target, step_seed):
         scene = insert_params(params)
         img = _fwd(scene, step_seed)
         loss, g_img = jax.value_and_grad(
             lambda im: loss_fn(im, target))(img)
-
-        def build(s):
-            return _camera_table(s), _sphere_table(s)
-
         (cam_tab, sph_tab), build_vjp = jax.vjp(build, scene)
         # the kernel accumulates raw per-sample contributions; the image
         # is their mean, so the cotangent carries 1/spp
-        gcam, gsph = _bwd(cam_tab, sph_tab,
-                          g_img / jnp.float32(gcfg.spp), step_seed)
+        if has_tris:
+            w_flat, aabb, boxes, _, _, _ = _mesh_tables(
+                jax.lax.stop_gradient(scene), plan)
+            gcam, gsph = _bwd_mesh(cam_tab, sph_tab, w_flat, aabb, boxes,
+                                   g_img / jnp.float32(gcfg.spp),
+                                   step_seed)
+        else:
+            gcam, gsph = _bwd(cam_tab, sph_tab,
+                              g_img / jnp.float32(gcfg.spp), step_seed)
         (s_bar,) = build_vjp((gcam, gsph))
         _, ins_vjp = jax.vjp(insert_params, params)
         (p_bar,) = ins_vjp(s_bar)

@@ -298,10 +298,18 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
 
     on_tpu_g = jax.default_backend() == "tpu"
     if grad_backend in ("auto", "pallas"):
-        from ..kernels.megagrad import render_grad_scene, supports_grad
-        use_pl_grad = supports_grad(scene, cfg) and (
-            grad_backend == "pallas" or on_tpu_g
-            or cfg.backend == "pallas")
+        from ..kernels.megagrad import (render_grad_scene, supports_grad,
+                                        supports_grad_mesh)
+        has_tris = scene.triangles.count > 0
+        in_scope = (supports_grad_mesh(scene, cfg) if has_tris
+                    else supports_grad(scene, cfg))
+        # The mesh variant holds triangle geometry FIXED (zero triangle
+        # cotangents — supports_grad_mesh docstring), so it only runs on
+        # explicit grad_backend="pallas"; "auto" keeps the jnp VJP for
+        # mesh scenes, whose cotangent covers the triangle leaves too.
+        use_pl_grad = in_scope and (
+            grad_backend == "pallas" or (not has_tris and (
+                on_tpu_g or cfg.backend == "pallas")))
         if use_pl_grad:
             try:
                 grads = render_grad_scene(scene, cfg, g_img, seed,

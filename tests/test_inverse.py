@@ -103,3 +103,32 @@ def test_fit_scene_pallas_converges():
                                grad_backend="pallas",
                                pallas_interpret=True)
     assert losses[-1] < 0.5 * losses[0], losses
+
+
+def test_fit_scene_pallas_mesh_scene():
+    """Pallas fit of sphere albedo in a scene CONTAINING a mesh (triangle
+    geometry held fixed by the mesh grad kernel) matches the jnp fit step."""
+    from opencl_ray_tracer_tpu.io.obj import parse_obj
+    from opencl_ray_tracer_tpu.io.procgen import make_torus_obj
+
+    tris, aabb = parse_obj(make_torus_obj(6, 4), scale=(0.5, 0.5, 0.5),
+                           translate=(0.3, 0.0, -1.6))
+    true_scene = ort.reference_scene(mesh_tris=tris, mesh_aabb=aabb)
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4,
+                           nan_policy="zero")
+    target = ort.render(true_scene, cfg.replace(early_stop=False), seed=2)
+
+    bad_albedo = true_scene.spheres.albedo.at[1].set(
+        jnp.array([0.3, 0.8, 0.5]))
+    init = dataclasses.replace(
+        true_scene,
+        spheres=dataclasses.replace(true_scene.spheres, albedo=bad_albedo))
+
+    kw = dict(param_paths=("spheres.albedo",), steps=1,
+              learning_rate=1e-2, seed=5, sample_new_noise=False)
+    fit_p, loss_p = fit_scene(target, init, cfg, grad_backend="pallas",
+                              pallas_interpret=True, **kw)
+    fit_j, loss_j = fit_scene(target, init, cfg, grad_backend="jnp", **kw)
+    assert abs(loss_p[0] - loss_j[0]) < 5e-4, (loss_p, loss_j)
+    np.testing.assert_allclose(np.asarray(fit_p.spheres.albedo),
+                               np.asarray(fit_j.spheres.albedo), atol=3e-4)

@@ -205,3 +205,69 @@ def test_tables_sample_window():
                                np.asarray(gc_full), rtol=2e-4, atol=1e-7)
     np.testing.assert_allclose(np.asarray(gs_a + gs_b),
                                np.asarray(gs_full), rtol=2e-4, atol=1e-7)
+
+
+# ---- mesh variant: triangle scenes (geometry held fixed) ----
+
+def _mesh_scene(sky=None, mesh_material=None):
+    from opencl_ray_tracer_tpu.io.obj import parse_obj
+    from opencl_ray_tracer_tpu.io.procgen import make_torus_obj
+    from opencl_ray_tracer_tpu.scene import Triangles
+    tris, aabb = parse_obj(make_torus_obj(6, 4), scale=(0.5, 0.5, 0.5),
+                           translate=(0.3, 0.0, -1.6))
+    scene = ort.reference_scene(mesh_tris=tris, mesh_aabb=aabb, sky=sky)
+    if mesh_material is not None:
+        scene = dc.replace(
+            scene, triangles=Triangles.from_vertices(
+                np.asarray(tris), box_id=0, **mesh_material))
+    return scene
+
+
+def _mesh_grad_pair(scene, cfg, seed):
+    """Mesh oracle: the jnp wavefront VJP (render_grad_sampled's jnp
+    backend — mesh-capable), vs the mesh backward kernel."""
+    _, _, gref = render_grad_sampled(scene, cfg, LOSS, seed=seed,
+                                     grad_backend="jnp")
+    img = ort.render(scene, cfg, seed=seed)
+    _, g_img = jax.value_and_grad(LOSS)(img)
+    g = render_grad_scene(scene, cfg, g_img, seed=seed, interpret=True)
+    return g, gref
+
+
+def test_mesh_scene_grads_match_jnp():
+    from opencl_ray_tracer_tpu.kernels.megagrad import supports_grad_mesh
+    scene = _mesh_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4,
+                           nan_policy="zero")
+    assert supports_grad_mesh(scene, cfg)
+    g, gref = _mesh_grad_pair(scene, cfg, seed=0)
+    _assert_close(g, gref, 5e-4)
+    # triangle geometry is held fixed: exactly-zero cotangents
+    assert float(np.abs(np.asarray(g.triangles.p0)).max()) == 0.0
+    assert float(np.abs(np.asarray(g.triangles.p1)).max()) == 0.0
+
+
+def test_mesh_scene_metal_const_sky():
+    from opencl_ray_tracer_tpu.scene import materials as mat
+    scene = _mesh_scene(sky=Sky.constant((0.3, 0.5, 0.8)),
+                        mesh_material=dict(albedo=(0.8, 0.7, 0.3),
+                                           fuzz=0.2, ior=0.0,
+                                           mat_type=mat.METAL))
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4,
+                           nan_policy="zero")
+    g, gref = _mesh_grad_pair(scene, cfg, seed=3)
+    _assert_close(g, gref, 5e-3)
+
+
+def test_mesh_grad_sampled_explicit_pallas():
+    """render_grad_sampled(grad_backend='pallas') routes mesh scenes to
+    the mesh kernel (auto keeps jnp because triangle cotangents differ)."""
+    scene = _mesh_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4,
+                           nan_policy="zero", backend="jnp")
+    loss_p, _, g = render_grad_sampled(scene, cfg, LOSS, seed=1,
+                                       grad_backend="pallas")
+    loss_j, _, gref = render_grad_sampled(scene, cfg, LOSS, seed=1,
+                                          grad_backend="jnp")
+    assert abs(float(loss_p) - float(loss_j)) < 1e-6
+    _assert_close(g, gref, 5e-4)

@@ -292,3 +292,71 @@ def test_sharded_pallas_train_step_matches_jnp_step():
     g_p = np.asarray(params["albedo"] - pp["albedo"])
     scale = max(float(np.abs(g_j).max()), 1e-6)
     assert float(np.abs(g_p - g_j).max()) / scale < 1e-3
+
+
+def _torus_scene():
+    from opencl_ray_tracer_tpu.io.obj import parse_obj
+    from opencl_ray_tracer_tpu.io.procgen import make_torus_obj
+    tris, aabb = parse_obj(make_torus_obj(6, 4), scale=(0.5, 0.5, 0.5),
+                           translate=(0.3, 0.0, -1.6))
+    return ort.reference_scene(mesh_tris=tris, mesh_aabb=aabb)
+
+
+def test_sharded_mesh_grad_matches_single_device():
+    """render_grad_sharded on a MESH scene: per-shard mesh backward
+    kernel + psum'd table cotangents vs the single-device mesh kernel."""
+    from opencl_ray_tracer_tpu.kernels.megagrad import render_grad_scene
+
+    scene = _torus_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4,
+                           backend="jnp", nan_policy="zero")
+    mesh = par.make_mesh(n_tile=8, n_sample=1)
+    loss_fn = lambda im: jnp.mean(im ** 2)
+
+    loss, img, g = par.render_grad_sharded(scene, cfg, loss_fn, mesh,
+                                           seed=0, pallas_interpret=True)
+
+    img_ref = ort.render(scene, cfg, seed=0)
+    _, g_img = jax.value_and_grad(loss_fn)(img_ref)
+    g_ref = render_grad_scene(scene, cfg, g_img, seed=0, interpret=True)
+
+    for name in ("center", "radius", "albedo"):
+        a = np.asarray(getattr(g.spheres, name))
+        b = np.asarray(getattr(g_ref.spheres, name))
+        scale = max(float(np.abs(b).max()), 1e-6)
+        assert float(np.abs(a - b).max()) / scale < 1e-4, name
+    assert float(np.abs(np.asarray(g.triangles.p0)).max()) == 0.0
+
+
+def test_sharded_pallas_train_step_mesh_template():
+    """make_train_step(grad_backend='pallas') with a triangle template:
+    megamesh fwd + mesh backward kernel, vs the jnp autodiff step."""
+    scene = _torus_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4,
+                           nan_policy="zero")
+    mesh = par.make_mesh(n_tile=8, n_sample=1)
+    target = jnp.zeros((cfg.height, cfg.width, 3))
+
+    def insert(p):
+        return dataclasses.replace(
+            scene, spheres=dataclasses.replace(scene.spheres,
+                                               albedo=p["albedo"]))
+
+    loss_fn = lambda img, tgt: jnp.mean((img - tgt) ** 2)
+    params = {"albedo": scene.spheres.albedo}
+
+    opt = optax.sgd(1.0)
+    step_j = par.make_train_step(cfg, mesh, opt, loss_fn, insert, seed=0)
+    pj, _, loss_j = step_j(params, opt.init(params), target, jnp.uint32(0))
+
+    step_p = par.make_train_step(cfg, mesh, opt, loss_fn, insert, seed=0,
+                                 grad_backend="pallas",
+                                 template_scene=scene,
+                                 pallas_interpret=True)
+    pp, _, loss_p = step_p(params, opt.init(params), target, jnp.uint32(0))
+
+    assert abs(float(loss_p) - float(loss_j)) < 5e-4
+    g_j = np.asarray(params["albedo"] - pj["albedo"])
+    g_p = np.asarray(params["albedo"] - pp["albedo"])
+    scale = max(float(np.abs(g_j).max()), 1e-6)
+    assert float(np.abs(g_p - g_j).max()) / scale < 1e-3
