@@ -271,3 +271,24 @@ def test_mesh_grad_sampled_explicit_pallas():
                                           grad_backend="jnp")
     assert abs(float(loss_p) - float(loss_j)) < 1e-6
     _assert_close(g, gref, 5e-4)
+
+
+def test_mesh_only_scene_no_spheres():
+    """Triangles-only scene (0 spheres): camera gradients flow through
+    mesh bounces; empty sphere table degrades cleanly."""
+    from opencl_ray_tracer_tpu.kernels.megagrad import supports_grad_mesh
+    from opencl_ray_tracer_tpu.scene import Spheres
+    scene = dc.replace(_mesh_scene(), spheres=Spheres.empty())
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4,
+                           nan_policy="zero")
+    assert supports_grad_mesh(scene, cfg)
+    img = ort.render(scene, cfg, seed=0)
+    _, g_img = jax.value_and_grad(LOSS)(img)
+    g = render_grad_scene(scene, cfg, g_img, seed=0, interpret=True)
+    _, _, gref = render_grad_sampled(scene, cfg, LOSS, seed=0,
+                                     grad_backend="jnp")
+    for name in ("look_from", "look_at", "vfov_deg"):
+        a = np.asarray(getattr(g.camera, name))
+        b = np.asarray(getattr(gref.camera, name))
+        scale = max(float(np.abs(b).max()), 1e-8)
+        assert float(np.abs(a - b).max()) / scale < 1e-4, name
