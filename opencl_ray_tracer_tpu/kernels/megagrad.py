@@ -89,7 +89,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RenderConfig
 from ..scene import Scene
 from ..scene import materials as mat
-from ..scene.sky import KIND_CONST, KIND_GRADIENT
+from ..scene.sky import KIND_CONST, KIND_GRADIENT, KIND_HDR
 from .megakernel import (BIG, LANES, N_FIELDS, TWO_PI, _U32, _camera_table,
                          _dot3, _sphere_table, _uniform4, scatter_block,
                          specialize_flags, supports,
@@ -155,7 +155,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                       has_metal: bool, has_diel: bool, has_emit: bool,
                       has_fuzz: bool, has_aperture: bool,
                       n_slots: int = MIN_SLOTS,
-                      tile_rows: int = TILE_ROWS, mesh=None):
+                      tile_rows: int = TILE_ROWS, mesh=None,
+                      hdr_mode=None):
     """Backward kernel body; all config static.  NaN policy is always
     "zero" (order-invariant; see module docstring).  n_slots = record-ring
     depth (>= max_depth for forward progress).
@@ -209,7 +210,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
               active, term_allowed, a0, a1, a2, a3, b0, b1,
               inv_a, inv_len, hit, best_t,
               scx, scy, scz, inv_r, alr, alg, alb,
-              fuzz_fn, ior_fn, invior_fn, mtype, mesh_over=None):
+              fuzz_fn, ior_fn, invior_fn, mtype, mesh_over=None,
+              hdr_sky=None):
         """Hit-point/normal/scatter/contribution given resolved winner
         fields — the differentiable tail shared by the fill bounce (loop
         gathers) and the reverse bounce (winner-only gathers).  Mirrors
@@ -281,7 +283,13 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         exhaust_now = would_cont & ~term_allowed
         cont = would_cont & ~exhaust_now
 
-        if sky_kind == KIND_GRADIENT:
+        if sky_kind == KIND_HDR:
+            # nearest-texel equirect lookup (sky.py, gpu_kernel.cl:342-346)
+            # has zero direction-derivative, so the per-(pixel, sample)
+            # sky values from the emit pass are exact CONSTANTS here
+            # (matches the jnp VJP, whose int-cast cotangent is zero)
+            sk_r, sk_g, sk_b = hdr_sky
+        elif sky_kind == KIND_GRADIENT:
             tsky = 0.5 * (dy * inv_len + 1.0)
             sk_r = (1.0 - tsky) + tsky * 0.5
             sk_g = (1.0 - tsky) + tsky * 0.7
@@ -319,7 +327,7 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
 
     def bounce_fn(cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz, tr, tg, tb,
                   active, term_allowed, a0, a1, a2, a3, b0, b1,
-                  pre=None, mesh_over=None):
+                  pre=None, mesh_over=None, hdr_sky=None):
         """One full bounce (state -> state', contribution) — the FILL-loop
         path: intersection argmin + loop gathers + shade.  Runs outside
         any vjp, so its O(n_spheres) intermediates carry no residuals.
@@ -363,12 +371,12 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                      lambda: gather(F_FUZZ),
                      lambda: gather(F_IOR),
                      lambda: gather(F_INVIOR, 1.0),
-                     mtype, mesh_over=mesh_over)
+                     mtype, mesh_over=mesh_over, hdr_sky=hdr_sky)
 
     def winner_bounce(cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz,
                       tr, tg, tb, active, term_allowed,
                       a0, a1, a2, a3, b0, b1,
-                      rec_info=None, mesh_mat=None):
+                      rec_info=None, mesh_mat=None, hdr_sky=None):
         """One bounce for the REVERSE sweep, restructured so its vjp
         carries O(1) tile-sized residuals in the sphere count.
 
@@ -472,14 +480,26 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                      lambda: wgather(F_FUZZ),
                      lambda: wgather(F_IOR),
                      lambda: wgather(F_INVIOR, 1.0),
-                     mtype, mesh_over=mesh_over)
+                     mtype, mesh_over=mesh_over, hdr_sky=hdr_sky)
 
     def kernel(*refs):
         shape = (tile_rows, LANES)
         if mesh is not None:
-            (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
-             gr_ref, gg_ref, gb_ref, gcam_ref, gsph_ref,
-             st, rec, gacc, tri_sc) = refs
+            if hdr_mode == "emit":
+                # fill-only pass: dumps per-(pixel, sample) miss
+                # directions for the jnp sky lookup between passes
+                (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
+                 dref, st, tri_sc, dsc) = refs
+                rec = gacc = gcam_ref = gsph_ref = None
+                gr_ref = gg_ref = gb_ref = None
+            elif hdr_mode == "consume":
+                (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
+                 sky_ref, gr_ref, gg_ref, gb_ref, gcam_ref, gsph_ref,
+                 st, rec, gacc, tri_sc) = refs
+            else:
+                (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
+                 gr_ref, gg_ref, gb_ref, gcam_ref, gsph_ref,
+                 st, rec, gacc, tri_sc) = refs
             # 2-D image tiles (tile_rows x LANES PIXELS): spatially compact
             # tiles are what make the cluster gates fire (megamesh lesson)
             ti = pl.program_id(0)
@@ -510,9 +530,10 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         sample_base = off_ref[0, 2]
         seed_arr = jnp.zeros(shape, _U32) + off_ref[0, 1].astype(_U32)
         zero = jnp.zeros(shape, jnp.float32)
-        g_r = gr_ref[...]
-        g_g = gg_ref[...]
-        g_b = gb_ref[...]
+        if hdr_mode != "emit":
+            g_r = gr_ref[...]
+            g_g = gg_ref[...]
+            g_b = gb_ref[...]
 
         # table entries as scalars (read once; primals of the vjp)
         cam_s = tuple(cam_ref[0, c] for c in CAM_SLOTS)
@@ -531,15 +552,16 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             m_ior = cam_ref[0, C_M_IOR]
             m_invior = cam_ref[0, C_M_INVIOR]
 
-        @pl.when(first_tile)
-        def _init_out():
-            gcam_ref[...] = jnp.zeros_like(gcam_ref)
-            gsph_ref[...] = jnp.zeros_like(gsph_ref)
+        if hdr_mode != "emit":
+            @pl.when(first_tile)
+            def _init_out():
+                gcam_ref[...] = jnp.zeros_like(gcam_ref)
+                gsph_ref[...] = jnp.zeros_like(gsph_ref)
 
-        # per-tile accumulator rows: DIFF_FIELDS sphere rows + 1 cam row
-        n_rows_acc = len(DIFF_FIELDS) + 1
-        gacc[0, :n_rows_acc, :] = jnp.zeros((n_rows_acc, LANES),
-                                            jnp.float32)
+            # per-tile accumulators: DIFF_FIELDS sphere rows + 1 cam row
+            n_rows_acc = len(DIFF_FIELDS) + 1
+            gacc[0, :n_rows_acc, :] = jnp.zeros((n_rows_acc, LANES),
+                                                jnp.float32)
 
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
@@ -759,6 +781,13 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
 
                             jax.lax.fori_loop(0, tile_rows, row, 0)
 
+            if hdr_mode == "emit":
+                # safe default miss direction (0, 0, 1): samples that
+                # never miss keep it; their sky value is never consumed
+                for _s in range(spp):
+                    dsc[3 * _s + 0] = zero
+                    dsc[3 * _s + 1] = zero
+                    dsc[3 * _s + 2] = zero + 1.0
             st[S_S] = jnp.where(pix_valid, 0.0, spp_f)
         else:
             st[S_S] = zero
@@ -801,17 +830,18 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 tg = st[S_TG]
                 tb = st[S_TB]
                 rows = pl.ds(j * tile_rows, tile_rows)
-                rec[R_OX, rows, :] = ox
-                rec[R_OY, rows, :] = oy
-                rec[R_OZ, rows, :] = oz
-                rec[R_DX, rows, :] = dx
-                rec[R_DY, rows, :] = dy
-                rec[R_DZ, rows, :] = dz
-                rec[R_TR, rows, :] = tr
-                rec[R_TG, rows, :] = tg
-                rec[R_TB, rows, :] = tb
-                rec[R_S, rows, :] = s_f
-                rec[R_K, rows, :] = jnp.where(active, k_f, -1.0)
+                if hdr_mode != "emit":
+                    rec[R_OX, rows, :] = ox
+                    rec[R_OY, rows, :] = oy
+                    rec[R_OZ, rows, :] = oz
+                    rec[R_DX, rows, :] = dx
+                    rec[R_DY, rows, :] = dy
+                    rec[R_DZ, rows, :] = dz
+                    rec[R_TR, rows, :] = tr
+                    rec[R_TG, rows, :] = tg
+                    rec[R_TB, rows, :] = tb
+                    rec[R_S, rows, :] = s_f
+                    rec[R_K, rows, :] = jnp.where(active, k_f, -1.0)
                 a0, a1, a2, a3, b0, b1 = draws(s_to_u(s_f), k_f)
                 term_allowed = k_f + 1.0 < jnp.float32(max_depth)
                 pre = None
@@ -827,21 +857,38 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                         tri_win, jnp.float32(n_spheres),
                         jnp.where(best_t < BIG,
                                   best_i.astype(jnp.float32), -1.0))
-                    rec[R_WIN, rows, :] = win_code
-                    rec[R_NX, rows, :] = tri_sc[1]
-                    rec[R_NY, rows, :] = tri_sc[2]
-                    rec[R_NZ, rows, :] = tri_sc[3]
-                    rec[R_T, rows, :] = jnp.where(tri_win, tri_t, 0.0)
+                    if hdr_mode != "emit":
+                        rec[R_WIN, rows, :] = win_code
+                        rec[R_NX, rows, :] = tri_sc[1]
+                        rec[R_NY, rows, :] = tri_sc[2]
+                        rec[R_NZ, rows, :] = tri_sc[3]
+                        rec[R_T, rows, :] = jnp.where(tri_win, tri_t, 0.0)
+                    else:
+                        # record the miss direction of the CURRENT sample
+                        # (a path misses at most once — its terminal
+                        # bounce), static select fold over the window
+                        miss_now = active & (win_code == -1.0)
+                        for _s in range(spp):
+                            sel = miss_now & (s_f == jnp.float32(_s))
+                            dsc[3 * _s + 0] = jnp.where(
+                                sel, dx, dsc[3 * _s + 0])
+                            dsc[3 * _s + 1] = jnp.where(
+                                sel, dy, dsc[3 * _s + 1])
+                            dsc[3 * _s + 2] = jnp.where(
+                                sel, dz, dsc[3 * _s + 2])
                     pre = (best_t, best_i)
                     mesh_over = (tri_win, tri_t,
                                  tri_sc[1], tri_sc[2], tri_sc[3],
                                  m_alr, m_alg, m_alb, m_fuzz, m_ior,
                                  m_invior, jnp.float32(mesh_mtype))
+                hdr_zero = ((zero, zero, zero)
+                            if sky_kind == KIND_HDR else None)
                 (o2x, o2y, o2z, d2x, d2y, d2z, t2r, t2g, t2b,
                  _, _, _, cont) = bounce_fn(
                     cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz,
                     tr, tg, tb, active, term_allowed,
-                    a0, a1, a2, a3, b0, b1, pre=pre, mesh_over=mesh_over)
+                    a0, a1, a2, a3, b0, b1, pre=pre, mesh_over=mesh_over,
+                    hdr_sky=hdr_zero)
                 term = active & ~cont
                 s_new = jnp.where(term, s_f + 1.0, s_f)
                 regen = term & (s_new < spp_f)
@@ -866,15 +913,16 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             jax.lax.fori_loop(0, n_slots, fill_body, 0)
 
             # ---- reverse: unwind the ring top-down ----
-            st[A_OX] = zero
-            st[A_OY] = zero
-            st[A_OZ] = zero
-            st[A_DX] = zero
-            st[A_DY] = zero
-            st[A_DZ] = zero
-            st[A_TR] = zero
-            st[A_TG] = zero
-            st[A_TB] = zero
+            if hdr_mode != "emit":
+                st[A_OX] = zero
+                st[A_OY] = zero
+                st[A_OZ] = zero
+                st[A_DX] = zero
+                st[A_DY] = zero
+                st[A_DZ] = zero
+                st[A_TR] = zero
+                st[A_TG] = zero
+                st[A_TB] = zero
 
             def rev_body(jj, _):
                 j = n_slots - 1 - jj
@@ -903,13 +951,27 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                 m_invior, jnp.float32(mesh_mtype))
                 else:
                     rec_info = mesh_mat = None
+                if hdr_mode == "consume":
+                    # the record's sample selects its (constant) sky value
+                    sk0r = zero
+                    sk0g = zero
+                    sk0b = zero
+                    for _s in range(spp):
+                        sel = s_rec == jnp.float32(_s)
+                        sk0r = jnp.where(sel, sky_ref[3 * _s + 0], sk0r)
+                        sk0g = jnp.where(sel, sky_ref[3 * _s + 1], sk0g)
+                        sk0b = jnp.where(sel, sky_ref[3 * _s + 2], sk0b)
+                    hdr_sky_rec = (sk0r, sk0g, sk0b)
+                else:
+                    hdr_sky_rec = None
 
                 def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz, tr, tg, tb):
                     out = winner_bounce(cam_t, sph_t, mtypes, ox, oy, oz,
                                         dx, dy, dz, tr, tg, tb, alive,
                                         term_allowed, a0, a1, a2, a3,
                                         b0, b1, rec_info=rec_info,
-                                        mesh_mat=mesh_mat)
+                                        mesh_mat=mesh_mat,
+                                        hdr_sky=hdr_sky_rec)
                     return out[:12]          # drop the bool cont
 
                 _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
@@ -960,10 +1022,15 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                     gacc[0, n_rows_acc - 1:n_rows_acc, :] + crow)
                 return 0
 
-            jax.lax.fori_loop(0, n_slots, rev_body, 0)
+            if hdr_mode != "emit":
+                jax.lax.fori_loop(0, n_slots, rev_body, 0)
             return (it + 1, jnp.any(st[S_S] < spp_f))
 
         jax.lax.while_loop(round_cond, round_body, (jnp.int32(0), True))
+
+        if hdr_mode == "emit":
+            dref[...] = dsc[...]
+            return
 
         # flush: accumulator rows -> table-shaped outputs (concatenate,
         # not .at[].set — scatters don't lower in Mosaic)
@@ -1151,6 +1218,130 @@ def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
     return gcam, gsph
 
 
+# HDR backward runs over sample windows (two passes per window: emit miss
+# directions -> jnp nearest-texel lookup -> consume); the window bounds the
+# per-tile VMEM for the dirs/sky rows (3*spp_c each).
+GRAD_HDR_SPP_CHUNK = 8
+
+
+def _grad_tables_hdr_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
+                            n_spheres, sky, cfg, g_img, seed,
+                            sample_base, n_samples, flags, interpret,
+                            row_base=None, full_height=None):
+    """One HDR sample window: emit pass (fill-only kernel dumps the
+    per-(pixel, sample) miss directions), nearest-texel sky lookup in jnp
+    (XLA's native gathers — exactly the values the reverse needs, and
+    exactly constant: the lookup has zero direction-derivative), consume
+    pass (fill + reverse with the sky rows as VMEM input).  The emit pass
+    replays the SAME fill code, so its directions match the consume
+    pass's replay bitwise."""
+    from ..scene import sky_colour
+
+    has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags[:5]
+    h, w = g_img.shape[0], g_img.shape[1]
+    block_rows = g_img.shape[0]
+    if full_height is not None:
+        h = full_height
+    n_slots = max(MIN_SLOTS, cfg.max_depth)
+    tile_rows = MESH_TILE_ROWS
+    n_tr = -(-block_rows // tile_rows)
+    n_tc = -(-w // LANES)
+    hp, wp = n_tr * tile_rows, n_tc * LANES
+    row0 = (jnp.int32(0) if row_base is None
+            else jnp.asarray(row_base, jnp.int32))
+    off = jnp.stack([row0, jnp.int32(seed), jnp.int32(sample_base),
+                     row0 + jnp.int32(block_rows)]).reshape(1, 4)
+
+    def mk(hdr_mode):
+        return _make_grad_kernel(
+            n_spheres=n_spheres, width=w, height=h,
+            spp=n_samples, max_depth=cfg.max_depth, t_min=cfg.t_min,
+            sky_kind=KIND_HDR, clamp_samples=cfg.clamp_samples,
+            has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
+            has_fuzz=has_fuzz, has_aperture=has_aperture,
+            n_slots=n_slots, tile_rows=tile_rows, mesh=mesh,
+            hdr_mode=hdr_mode)
+
+    base_specs = [
+        pl.BlockSpec((1, 4), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, w_flat.shape[1]), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster AABBs
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # top boxes
+    ]
+    rows_spec = pl.BlockSpec((tile_rows, LANES), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    sky_spec = pl.BlockSpec((3 * n_samples, tile_rows, LANES),
+                            lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+
+    # ---- pass 1: emit miss directions ----
+    dirs = pl.pallas_call(
+        mk("emit"),
+        out_shape=jax.ShapeDtypeStruct((3 * n_samples, hp, wp),
+                                       jnp.float32),
+        grid=(n_tr, n_tc),
+        in_specs=base_specs,
+        out_specs=sky_spec,
+        scratch_shapes=[
+            pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((8, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((3 * n_samples, tile_rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(off, cam_tab, sph_tab, w_flat, aabb, boxes)
+
+    # ---- sky lookup (constant values; zero direction-derivative) ----
+    d_v = dirs.reshape(n_samples, 3, hp, wp).transpose(0, 2, 3, 1)
+    sk = sky_colour(sky, d_v)                     # (spp_c, hp, wp, 3)
+    sky_rows = sk.transpose(0, 3, 1, 2).reshape(3 * n_samples, hp, wp)
+    sky_rows = jax.lax.stop_gradient(sky_rows)
+
+    # ---- pass 2: fill + reverse with the sky rows resident ----
+    g = jnp.pad(g_img, ((0, hp - block_rows), (0, wp - w), (0, 0)))
+    g = g.transpose(2, 0, 1)
+    gcam, gsph = pl.pallas_call(
+        mk("consume"),
+        out_shape=[jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32)],
+        grid=(n_tr, n_tc),
+        in_specs=base_specs + [sky_spec, rows_spec, rows_spec, rows_spec],
+        out_specs=[
+            pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((N_REC_MESH, n_slots * tile_rows, LANES),
+                       jnp.float32),
+            pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
+            pltpu.VMEM((8, tile_rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(off, cam_tab, sph_tab, w_flat, aabb, boxes, sky_rows,
+      g[0], g[1], g[2])
+    return gcam, gsph
+
+
+def supports_grad_hdr(scene: Scene, cfg: RenderConfig) -> bool:
+    """HDR-sky scenes the backward kernel covers: supports_mesh's HDR
+    conditions (tone-mapped sky < 1 and albedos <= 1 so the per-sample
+    clamp is a no-op for sky contributions; uniform mesh material behind
+    a box when triangles exist) up to GRAD_MAX_SPHERES spheres.  The sky
+    IMAGE and triangle geometry are held fixed (zero cotangents)."""
+    from .megamesh import supports_mesh
+    return (scene.sky.kind == KIND_HDR
+            and scene.spheres.count <= GRAD_MAX_SPHERES
+            and supports_mesh(scene, cfg))
+
+
 def supports_grad_mesh(scene: Scene, cfg: RenderConfig) -> bool:
     """Mesh scenes the backward kernel covers: triangles with one uniform
     material behind >= 1 gating box (reference semantics,
@@ -1182,6 +1373,15 @@ def render_grad_scene(scene: Scene, cfg: RenderConfig, g_img, seed,
     triangle leaves of the returned cotangent are zero (geometry held
     fixed — see supports_grad_mesh).
     """
+    if scene.sky.kind == KIND_HDR:
+        from ..tracer.clusters import plan_for_scene
+        from .megamesh import MESH_CHUNK, specialize_mesh_flags
+        assert supports_grad_hdr(scene, cfg), \
+            "scene outside HDR grad-kernel scope"
+        plan = plan_for_scene(scene, MESH_CHUNK)
+        mf = specialize_mesh_flags(scene)
+        return _grad_scene_hdr_jit(scene, cfg, g_img, jnp.int32(seed),
+                                   mf[:5], mf[5], plan, interpret)
     if scene.triangles.count > 0:
         from ..tracer.clusters import plan_for_scene
         from .megamesh import MESH_CHUNK, specialize_mesh_flags
@@ -1209,6 +1409,36 @@ def _grad_scene_jit(scene, cfg, g_img, seed, flags, interpret):
         cam_tab, sph_tab, scene.spheres.count, scene.sky.kind, cfg,
         g_img / jnp.float32(cfg.spp), seed, jnp.int32(0),
         cfg.spp, flags, interpret)
+    (s_bar,) = build_vjp((gcam, gsph))
+    return s_bar
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "flags", "m_type",
+                                             "plan", "interpret"))
+def _grad_scene_hdr_jit(scene, cfg, g_img, seed, flags, m_type, plan,
+                        interpret):
+    from .megamesh import _mesh_camera_table, _mesh_tables
+
+    def build(s):
+        return _mesh_camera_table(s), _sphere_table(s)
+
+    (cam_tab, sph_tab), build_vjp = jax.vjp(build, scene)
+    w_flat, aabb, boxes, n_chunks, chunk, bids = _mesh_tables(
+        jax.lax.stop_gradient(scene), plan)
+    mesh = (n_chunks, chunk, bids, max(1, scene.boxes.count), m_type)
+    g_scaled = g_img / jnp.float32(cfg.spp)
+    gcam = jnp.zeros((1, LANES), jnp.float32)
+    gsph = jnp.zeros((N_FIELDS, LANES), jnp.float32)
+    # sample windows bound the per-tile dirs/sky VMEM rows; window sums
+    # are exact (the estimator is sample-linear under the "zero" policy)
+    for s_base in range(0, cfg.spp, GRAD_HDR_SPP_CHUNK):
+        spp_c = min(GRAD_HDR_SPP_CHUNK, cfg.spp - s_base)
+        gc, gs = _grad_tables_hdr_window(
+            cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
+            scene.spheres.count, scene.sky, cfg, g_scaled, seed,
+            jnp.int32(s_base), spp_c, flags, interpret)
+        gcam = gcam + gc
+        gsph = gsph + gs
     (s_bar,) = build_vjp((gcam, gsph))
     return s_bar
 

@@ -102,17 +102,24 @@ def fit_scene(
         loss_fn = lambda img: jnp.mean((img - target) ** 2)
 
     use_pallas = False
-    mesh_fit = False
+    fit_kind = "sphere"
     if grad_backend in ("auto", "pallas") and not soft:
-        from .kernels.megagrad import supports_grad, supports_grad_mesh
-        if init_scene.triangles.count > 0:
-            # the mesh grad kernel holds triangle geometry fixed, so it is
-            # only eligible when no triangle parameter is being fitted
-            fits_tris = any(p.startswith("triangles.")
-                            for p in param_paths)
+        from .kernels.megagrad import (supports_grad, supports_grad_hdr,
+                                       supports_grad_mesh)
+        from .scene.sky import KIND_HDR
+        # the mesh/HDR grad kernels hold triangle geometry and the sky
+        # image fixed, so they are only eligible when those parameters
+        # are not being fitted
+        fits_tris = any(p.startswith("triangles.") for p in param_paths)
+        fits_sky = any(p.startswith("sky.") for p in param_paths)
+        if init_scene.sky.kind == KIND_HDR:
+            in_scope = (supports_grad_hdr(init_scene, dcfg)
+                        and not fits_tris and not fits_sky)
+            fit_kind = "hdr"
+        elif init_scene.triangles.count > 0:
             in_scope = (supports_grad_mesh(init_scene, dcfg)
                         and not fits_tris)
-            mesh_fit = True
+            fit_kind = "mesh"
         else:
             in_scope = supports_grad(init_scene, dcfg)
         if grad_backend == "pallas":
@@ -130,14 +137,17 @@ def fit_scene(
         # the kernel's NaN policy for sample contributions is the
         # order-invariant "zero" (as render_grad_sampled's chunks)
         gcfg = dcfg.replace(nan_policy="zero")
-        if mesh_fit:
-            from .kernels.megagrad import _grad_scene_mesh_jit
+        if fit_kind in ("mesh", "hdr"):
+            from .kernels.megagrad import (_grad_scene_hdr_jit,
+                                           _grad_scene_mesh_jit)
             from .kernels.megamesh import (MESH_CHUNK,
                                            render_pallas_mesh_inner,
                                            specialize_mesh_flags)
             from .tracer.clusters import plan_for_scene
             plan = plan_for_scene(init_scene, MESH_CHUNK)
             mflags = specialize_mesh_flags(init_scene, conservative=True)
+            bwd_jit = (_grad_scene_hdr_jit if fit_kind == "hdr"
+                       else _grad_scene_mesh_jit)
 
             def fwd(scene, step_seed):
                 return render_pallas_mesh_inner(
@@ -145,9 +155,8 @@ def fit_scene(
                     gcfg.height, 0)
 
             def bwd(scene, g_img, step_seed):
-                return _grad_scene_mesh_jit(scene, gcfg, g_img, step_seed,
-                                            mflags[:5], mflags[5], plan,
-                                            interp)
+                return bwd_jit(scene, gcfg, g_img, step_seed,
+                               mflags[:5], mflags[5], plan, interp)
         else:
             from .kernels.megagrad import _grad_scene_jit
             from .kernels.megakernel import (render_pallas_inner,

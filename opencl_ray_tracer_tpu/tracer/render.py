@@ -299,16 +299,23 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
     on_tpu_g = jax.default_backend() == "tpu"
     if grad_backend in ("auto", "pallas"):
         from ..kernels.megagrad import (render_grad_scene, supports_grad,
+                                        supports_grad_hdr,
                                         supports_grad_mesh)
+        from ..scene.sky import KIND_HDR
         has_tris = scene.triangles.count > 0
-        in_scope = (supports_grad_mesh(scene, cfg) if has_tris
-                    else supports_grad(scene, cfg))
-        # The mesh variant holds triangle geometry FIXED (zero triangle
-        # cotangents — supports_grad_mesh docstring), so it only runs on
-        # explicit grad_backend="pallas"; "auto" keeps the jnp VJP for
-        # mesh scenes, whose cotangent covers the triangle leaves too.
+        is_hdr = scene.sky.kind == KIND_HDR
+        if is_hdr:
+            in_scope = supports_grad_hdr(scene, cfg)
+        elif has_tris:
+            in_scope = supports_grad_mesh(scene, cfg)
+        else:
+            in_scope = supports_grad(scene, cfg)
+        # The mesh/HDR variants hold triangle geometry and the sky IMAGE
+        # fixed (zero cotangents — supports_grad_mesh/_hdr docstrings),
+        # so they only run on explicit grad_backend="pallas"; "auto"
+        # keeps the jnp VJP there, whose cotangent covers those leaves.
         use_pl_grad = in_scope and (
-            grad_backend == "pallas" or (not has_tris and (
+            grad_backend == "pallas" or (not has_tris and not is_hdr and (
                 on_tpu_g or cfg.backend == "pallas")))
         if use_pl_grad:
             try:

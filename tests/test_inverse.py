@@ -132,3 +132,33 @@ def test_fit_scene_pallas_mesh_scene():
     assert abs(loss_p[0] - loss_j[0]) < 5e-4, (loss_p, loss_j)
     np.testing.assert_allclose(np.asarray(fit_p.spheres.albedo),
                                np.asarray(fit_j.spheres.albedo), atol=3e-4)
+
+
+def test_fit_scene_pallas_hdr_scene():
+    """Pallas fit of sphere albedo under an HDR sky (two-pass HDR
+    backward; sky image + triangle geometry held fixed) decreases the
+    loss and matches the jnp step."""
+    from opencl_ray_tracer_tpu.io.hdr import tone_map
+    from opencl_ray_tracer_tpu.io.procgen import make_sky_image
+    from opencl_ray_tracer_tpu.scene import Sky
+
+    true_scene = dataclasses.replace(
+        ort.readme_scene(), sky=Sky.hdr(tone_map(make_sky_image(64, 32))))
+    cfg = ort.RenderConfig(width=32, height=16, spp=3, max_depth=4,
+                           nan_policy="zero")
+    target = ort.render(true_scene, cfg.replace(early_stop=False), seed=2)
+
+    bad_albedo = true_scene.spheres.albedo.at[1].set(
+        jnp.array([0.3, 0.8, 0.5]))
+    init = dataclasses.replace(
+        true_scene,
+        spheres=dataclasses.replace(true_scene.spheres, albedo=bad_albedo))
+
+    kw = dict(param_paths=("spheres.albedo",), steps=1,
+              learning_rate=1e-2, seed=5, sample_new_noise=False)
+    fit_p, loss_p = fit_scene(target, init, cfg, grad_backend="pallas",
+                              pallas_interpret=True, **kw)
+    fit_j, loss_j = fit_scene(target, init, cfg, grad_backend="jnp", **kw)
+    assert abs(loss_p[0] - loss_j[0]) < 5e-4, (loss_p, loss_j)
+    np.testing.assert_allclose(np.asarray(fit_p.spheres.albedo),
+                               np.asarray(fit_j.spheres.albedo), atol=3e-4)

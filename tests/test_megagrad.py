@@ -292,3 +292,60 @@ def test_mesh_only_scene_no_spheres():
         b = np.asarray(getattr(gref.camera, name))
         scale = max(float(np.abs(b).max()), 1e-8)
         assert float(np.abs(a - b).max()) / scale < 1e-4, name
+
+
+# ---- HDR-sky variant (two-pass: emit dirs -> lookup -> consume) ----
+
+def _hdr_sky():
+    from opencl_ray_tracer_tpu.io.hdr import tone_map
+    from opencl_ray_tracer_tpu.io.procgen import make_sky_image
+    return Sky.hdr(tone_map(make_sky_image(64, 32)))
+
+
+def test_hdr_sphere_scene_grads_match_jnp():
+    """Sphere scene under an HDR sky: albedo gradients are the live
+    signal (the nearest-texel lookup has zero direction-derivative, so
+    interior geometry gradients are genuinely ~0 in BOTH backends —
+    agreement on that is part of the check)."""
+    from opencl_ray_tracer_tpu.kernels.megagrad import supports_grad_hdr
+    scene = dc.replace(ort.readme_scene(), sky=_hdr_sky())
+    cfg = ort.RenderConfig(width=32, height=16, spp=3, max_depth=4,
+                           nan_policy="zero")
+    assert supports_grad_hdr(scene, cfg)
+    img = ort.render(scene, cfg, seed=0)
+    _, g_img = jax.value_and_grad(LOSS)(img)
+    g = render_grad_scene(scene, cfg, g_img, seed=0, interpret=True)
+    _, _, gref = render_grad_sampled(scene, cfg, LOSS, seed=0,
+                                     grad_backend="jnp")
+    a = np.asarray(g.spheres.albedo)
+    b = np.asarray(gref.spheres.albedo)
+    assert float(np.abs(b).max()) > 1e-3          # real signal
+    assert float(np.abs(a - b).max()) / float(np.abs(b).max()) < 1e-4
+    for name in ("center", "radius", "fuzz", "ior"):
+        assert float(np.abs(np.asarray(getattr(g.spheres, name))
+                            - np.asarray(getattr(gref.spheres, name))
+                            ).max()) < 1e-6, name
+    # the sky IMAGE is held fixed on the kernel path
+    assert float(np.abs(np.asarray(g.sky.image)).max()) == 0.0
+
+
+def test_hdr_mesh_scene_multi_window():
+    """The reference default-scene SHAPE (spheres + mesh + HDR sky) with
+    spp > GRAD_HDR_SPP_CHUNK (two emit/consume window pairs)."""
+    from opencl_ray_tracer_tpu.kernels.megagrad import (GRAD_HDR_SPP_CHUNK,
+                                                        supports_grad_hdr)
+    scene = _mesh_scene(sky=_hdr_sky())
+    spp = GRAD_HDR_SPP_CHUNK + 3
+    cfg = ort.RenderConfig(width=32, height=16, spp=spp, max_depth=4,
+                           nan_policy="zero")
+    assert supports_grad_hdr(scene, cfg)
+    img = ort.render(scene, cfg, seed=0)
+    _, g_img = jax.value_and_grad(LOSS)(img)
+    g = render_grad_scene(scene, cfg, g_img, seed=0, interpret=True)
+    _, _, gref = render_grad_sampled(scene, cfg, LOSS, seed=0,
+                                     grad_backend="jnp")
+    a = np.asarray(g.spheres.albedo)
+    b = np.asarray(gref.spheres.albedo)
+    assert float(np.abs(b).max()) > 1e-3
+    assert float(np.abs(a - b).max()) / float(np.abs(b).max()) < 1e-4
+    assert float(np.abs(np.asarray(g.triangles.p0)).max()) == 0.0
