@@ -139,21 +139,25 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
     from the single-chip kernel's sequential tile loop, so gradients
     match single-chip to f32 reduction tolerance (the image itself stays
     bit-identical — counter RNG)."""
-    from ..kernels.megagrad import (_grad_tables_inner,
+    from ..kernels.megagrad import (GRAD_HDR_SPP_CHUNK, _grad_tables_inner,
+                                    _grad_tables_hdr_window,
                                     _grad_tables_mesh_inner, supports_grad,
-                                    supports_grad_mesh)
+                                    supports_grad_hdr, supports_grad_mesh)
     from ..kernels.megakernel import (_camera_table, _sphere_table,
                                       specialize_flags)
+    from ..scene.sky import KIND_HDR, Sky
 
     n_tile, n_sample = _check(cfg, mesh)
     assert n_sample == 1, "sharded grad: sample axis must be 1"
     has_tris = scene.triangles.count > 0
+    is_hdr = scene.sky.kind == KIND_HDR
     rows_per = cfg.height // n_tile
     n_spheres = scene.spheres.count
     sky_kind = scene.sky.kind
-    if has_tris:
-        assert supports_grad_mesh(scene, cfg), \
-            "scene outside mesh grad-kernel scope"
+    if has_tris or is_hdr:
+        assert (supports_grad_hdr(scene, cfg) if is_hdr
+                else supports_grad_mesh(scene, cfg)), \
+            "scene outside mesh/HDR grad-kernel scope"
         from ..kernels.megamesh import (MESH_CHUNK, _mesh_camera_table,
                                         _mesh_tables, specialize_mesh_flags)
         from ..tracer.clusters import plan_for_scene
@@ -171,13 +175,13 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
     loss, g_img = jax.value_and_grad(loss_fn)(img)
 
     def build(s):
-        if has_tris:
+        if has_tris or is_hdr:
             return _mesh_camera_table(s), _sphere_table(s)
         return _camera_table(s), _sphere_table(s)
 
     (cam_tab, sph_tab), build_vjp = jax.vjp(build, scene)
 
-    if has_tris:
+    if has_tris or is_hdr:
         w_flat, aabb, boxes, n_chunks, chunk, bids = _mesh_tables(
             jax.lax.stop_gradient(scene), plan)
         mesh_static = (n_chunks, chunk, bids, max(1, scene.boxes.count),
@@ -185,20 +189,36 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
 
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(TILE_AXIS, None, None)),
+            in_specs=(P(), P(), P(), P(), P(), P(),
+                      P(TILE_AXIS, None, None)),
             out_specs=(P(), P()), check_vma=False)
-        def _grad(cam_t, sph_t, w_t, aabb_t, box_t, g):
+        def _grad(cam_t, sph_t, w_t, aabb_t, box_t, sky_img, g):
             ti = jax.lax.axis_index(TILE_AXIS)
-            gcam, gsph = _grad_tables_mesh_inner(
-                cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
-                n_spheres, sky_kind, cfg, g, jnp.int32(seed),
-                jnp.int32(0), cfg.spp, flags, pallas_interpret,
-                row_base=ti * rows_per, full_height=cfg.height)
+            if is_hdr:
+                sky_obj = Sky.hdr(sky_img)
+                gcam = jnp.zeros((1, 128), jnp.float32)
+                gsph = jnp.zeros_like(sph_t)
+                for s_base in range(0, cfg.spp, GRAD_HDR_SPP_CHUNK):
+                    spp_c = min(GRAD_HDR_SPP_CHUNK, cfg.spp - s_base)
+                    gc, gs = _grad_tables_hdr_window(
+                        cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
+                        n_spheres, sky_obj, cfg, g, jnp.int32(seed),
+                        jnp.int32(s_base), spp_c, flags, pallas_interpret,
+                        row_base=ti * rows_per, full_height=cfg.height)
+                    gcam = gcam + gc
+                    gsph = gsph + gs
+            else:
+                gcam, gsph = _grad_tables_mesh_inner(
+                    cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
+                    n_spheres, sky_kind, cfg, g, jnp.int32(seed),
+                    jnp.int32(0), cfg.spp, flags, pallas_interpret,
+                    row_base=ti * rows_per, full_height=cfg.height)
             gcam = jax.lax.psum(gcam, (TILE_AXIS, SAMPLE_AXIS))
             gsph = jax.lax.psum(gsph, (TILE_AXIS, SAMPLE_AXIS))
             return gcam, gsph
 
         gcam, gsph = _grad(cam_tab, sph_tab, w_flat, aabb, boxes,
+                           jax.lax.stop_gradient(scene.sky.image),
                            g_img / jnp.float32(cfg.spp))
         (s_bar,) = build_vjp((gcam, gsph))
         return loss, img, s_bar

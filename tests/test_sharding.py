@@ -360,3 +360,33 @@ def test_sharded_pallas_train_step_mesh_template():
     g_p = np.asarray(params["albedo"] - pp["albedo"])
     scale = max(float(np.abs(g_j).max()), 1e-6)
     assert float(np.abs(g_p - g_j).max()) / scale < 1e-3
+
+
+def test_sharded_hdr_grad_matches_single_device():
+    """render_grad_sharded on an HDR-sky scene (two-pass emit/consume per
+    shard) vs the single-device HDR kernel."""
+    from opencl_ray_tracer_tpu.io.hdr import tone_map
+    from opencl_ray_tracer_tpu.io.procgen import make_sky_image
+    from opencl_ray_tracer_tpu.kernels.megagrad import render_grad_scene
+    from opencl_ray_tracer_tpu.scene import Sky
+
+    scene = dataclasses.replace(
+        ort.readme_scene(), sky=Sky.hdr(tone_map(make_sky_image(64, 32))))
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4,
+                           backend="jnp", nan_policy="zero")
+    mesh = par.make_mesh(n_tile=8, n_sample=1)
+    loss_fn = lambda im: jnp.mean(im ** 2)
+
+    loss, img, g = par.render_grad_sharded(scene, cfg, loss_fn, mesh,
+                                           seed=0, pallas_interpret=True)
+
+    img_ref = ort.render(scene, cfg, seed=0)
+    _, g_img = jax.value_and_grad(loss_fn)(img_ref)
+    g_ref = render_grad_scene(scene, cfg, g_img, seed=0, interpret=True)
+
+    a = np.asarray(g.spheres.albedo)
+    b = np.asarray(g_ref.spheres.albedo)
+    scale = max(float(np.abs(b).max()), 1e-6)
+    assert scale > 1e-4          # live signal
+    assert float(np.abs(a - b).max()) / scale < 1e-4
+    assert float(np.abs(np.asarray(g.sky.image)).max()) == 0.0
