@@ -307,16 +307,19 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
     table builders and insert_params once, replicated.  Templates with
     triangles use the mesh kernels (triangle geometry held fixed — the
     fitted params must not include triangle fields)."""
-    from ..kernels.megagrad import (_grad_tables_inner,
+    from ..kernels.megagrad import (GRAD_HDR_SPP_CHUNK, _grad_tables_inner,
+                                    _grad_tables_hdr_window,
                                     _grad_tables_mesh_inner, supports_grad,
-                                    supports_grad_mesh)
+                                    supports_grad_hdr, supports_grad_mesh)
     from ..kernels.megakernel import (_camera_table, _sphere_table,
                                       render_pallas_inner, specialize_flags)
+    from ..scene.sky import KIND_HDR, Sky
 
     assert template_scene is not None, \
         "grad_backend='pallas' needs template_scene"
     gcfg = cfg.replace(early_stop=False, nan_policy="zero")
-    has_tris = template_scene.triangles.count > 0
+    is_hdr = template_scene.sky.kind == KIND_HDR
+    has_tris = template_scene.triangles.count > 0 or is_hdr
     n_tile, n_sample = _check(gcfg, mesh)
     assert n_sample == 1, "pallas train step: sample axis must be 1"
     rows_per = gcfg.height // n_tile
@@ -325,8 +328,9 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
     interp = pallas_interpret or jax.default_backend() != "tpu"
 
     if has_tris:
-        assert supports_grad_mesh(template_scene, gcfg), \
-            "template scene outside mesh grad-kernel scope"
+        assert (supports_grad_hdr(template_scene, gcfg) if is_hdr
+                else supports_grad_mesh(template_scene, gcfg)), \
+            "template scene outside mesh/HDR grad-kernel scope"
         from ..kernels.megamesh import (MESH_CHUNK, _mesh_camera_table,
                                         _mesh_tables,
                                         render_pallas_mesh_inner,
@@ -382,15 +386,30 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(TILE_AXIS, None, None), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(),
+                  P(TILE_AXIS, None, None), P()),
         out_specs=(P(), P()), check_vma=False)
-    def _bwd_mesh(cam_t, sph_t, w_t, aabb_t, box_t, g, sd):
+    def _bwd_mesh(cam_t, sph_t, w_t, aabb_t, box_t, sky_img, g, sd):
         ti = jax.lax.axis_index(TILE_AXIS)
-        gcam, gsph = _grad_tables_mesh_inner(
-            cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
-            n_spheres, sky_kind, gcfg, g, jnp.int32(sd),
-            jnp.int32(0), gcfg.spp, flags, interp,
-            row_base=ti * rows_per, full_height=gcfg.height)
+        if is_hdr:
+            sky_obj = Sky.hdr(sky_img)
+            gcam = jnp.zeros((1, 128), jnp.float32)
+            gsph = jnp.zeros_like(sph_t)
+            for s_base in range(0, gcfg.spp, GRAD_HDR_SPP_CHUNK):
+                spp_c = min(GRAD_HDR_SPP_CHUNK, gcfg.spp - s_base)
+                gc, gs = _grad_tables_hdr_window(
+                    cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
+                    n_spheres, sky_obj, gcfg, g, jnp.int32(sd),
+                    jnp.int32(s_base), spp_c, flags, interp,
+                    row_base=ti * rows_per, full_height=gcfg.height)
+                gcam = gcam + gc
+                gsph = gsph + gs
+        else:
+            gcam, gsph = _grad_tables_mesh_inner(
+                cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
+                n_spheres, sky_kind, gcfg, g, jnp.int32(sd),
+                jnp.int32(0), gcfg.spp, flags, interp,
+                row_base=ti * rows_per, full_height=gcfg.height)
         gcam = jax.lax.psum(gcam, (TILE_AXIS, SAMPLE_AXIS))
         gsph = jax.lax.psum(gsph, (TILE_AXIS, SAMPLE_AXIS))
         return gcam, gsph
@@ -413,6 +432,7 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
             w_flat, aabb, boxes, _, _, _ = _mesh_tables(
                 jax.lax.stop_gradient(scene), plan)
             gcam, gsph = _bwd_mesh(cam_tab, sph_tab, w_flat, aabb, boxes,
+                                   jax.lax.stop_gradient(scene.sky.image),
                                    g_img / jnp.float32(gcfg.spp),
                                    step_seed)
         else:

@@ -390,3 +390,42 @@ def test_sharded_hdr_grad_matches_single_device():
     assert scale > 1e-4          # live signal
     assert float(np.abs(a - b).max()) / scale < 1e-4
     assert float(np.abs(np.asarray(g.sky.image)).max()) == 0.0
+
+
+def test_sharded_pallas_train_step_hdr_template():
+    """make_train_step(grad_backend='pallas') with an HDR-sky template:
+    megamesh HDR fwd + two-pass HDR bwd per shard, vs the jnp step."""
+    from opencl_ray_tracer_tpu.io.hdr import tone_map
+    from opencl_ray_tracer_tpu.io.procgen import make_sky_image
+    from opencl_ray_tracer_tpu.scene import Sky
+
+    scene = dataclasses.replace(
+        ort.readme_scene(), sky=Sky.hdr(tone_map(make_sky_image(64, 32))))
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4,
+                           nan_policy="zero")
+    mesh = par.make_mesh(n_tile=8, n_sample=1)
+    target = jnp.zeros((cfg.height, cfg.width, 3))
+
+    def insert(p):
+        return dataclasses.replace(
+            scene, spheres=dataclasses.replace(scene.spheres,
+                                               albedo=p["albedo"]))
+
+    loss_fn = lambda img, tgt: jnp.mean((img - tgt) ** 2)
+    params = {"albedo": scene.spheres.albedo}
+
+    opt = optax.sgd(1.0)
+    step_j = par.make_train_step(cfg, mesh, opt, loss_fn, insert, seed=0)
+    pj, _, loss_j = step_j(params, opt.init(params), target, jnp.uint32(0))
+
+    step_p = par.make_train_step(cfg, mesh, opt, loss_fn, insert, seed=0,
+                                 grad_backend="pallas",
+                                 template_scene=scene,
+                                 pallas_interpret=True)
+    pp, _, loss_p = step_p(params, opt.init(params), target, jnp.uint32(0))
+
+    assert abs(float(loss_p) - float(loss_j)) < 5e-4
+    g_j = np.asarray(params["albedo"] - pj["albedo"])
+    g_p = np.asarray(params["albedo"] - pp["albedo"])
+    scale = max(float(np.abs(g_j).max()), 1e-6)
+    assert float(np.abs(g_p - g_j).max()) / scale < 1e-3
