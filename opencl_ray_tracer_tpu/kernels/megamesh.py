@@ -74,6 +74,7 @@ MESH_CHUNK = 1024          # triangles per cluster chunk (measured best on
                            # vs 2048 -> 4.18 s — fewer per-iteration chunk
                            # gates vs coarser culling)
 ROW_GROUP = 8              # rows per gating group in the intersection loop
+ROW_GATED = True           # per-row pl.when gates inside an active group
 HDR_SPP_CHUNK = 8          # samples per dispatch in HDR mode (records)
 SPHERE_CHUNK_MIN = 24      # sphere count above which sphere-only scenes
                            # route through this kernel: its 2-D image
@@ -489,34 +490,6 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                                            ci * c4 + 3 * chunk:
                                            ci * c4 + 4 * chunk]
 
-                            def row(r, _):
-                                r1 = pl.ds(r, 1)
-                                # 128-pixel-granular gate: bounced rays
-                                # lose tile coherence; skip rows where no
-                                # lane can hit this cluster
-                                row_any = jnp.max(tri_sc[7, r1, :])
-
-                                @pl.when(row_any > 0.0)
-                                def _row_body():
-                                    _intersect_row(r1)
-                                return 0
-
-                            def row_group(g, _):
-                                # 8-row group gate: a 64-iteration fori is
-                                # ~7us of scalar-branch overhead even when
-                                # every row is gated off — the dominant
-                                # tail cost (measured); inactive groups
-                                # now pay one check
-                                g0 = g * ROW_GROUP
-                                grp = pl.ds(g0, ROW_GROUP)
-                                grp_any = jnp.max(tri_sc[7, grp, :])
-
-                                @pl.when(grp_any > 0.0)
-                                def _grp_body():
-                                    jax.lax.fori_loop(g0, g0 + ROW_GROUP,
-                                                      row, 0)
-                                return 0
-
                             def _intersect_row(r1):
                                 f = jnp.concatenate([
                                     st[S_DX, r1, :], st[S_DY, r1, :],
@@ -606,6 +579,38 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                                         upd, nrm[1:2, :], tri_sc[2, r1, :])
                                     tri_sc[3, r1, :] = jnp.where(
                                         upd, nrm[2:3, :], tri_sc[3, r1, :])
+                                return 0
+
+                            # Row-loop structure notes (all measured on
+                            # the F1 scene): full Python unrolling of the
+                            # 64 gated rows compiles for 15+ min and runs
+                            # SLOWER (2.44 s vs 2.02 s) — the fori
+                            # bookkeeping overlaps the MXU work in situ,
+                            # and the code bloat hurts; microbenchmarks
+                            # without gates overstate fori cost.  Keep the
+                            # fori ladder; gating granularity is set by
+                            # ROW_GATED / ROW_GROUP.
+                            def row(r, _):
+                                if ROW_GATED:
+                                    row_any = jnp.max(tri_sc[7,
+                                                             pl.ds(r, 1), :])
+
+                                    @pl.when(row_any > 0.0)
+                                    def _row_body():
+                                        _intersect_row(pl.ds(r, 1))
+                                else:
+                                    _intersect_row(pl.ds(r, 1))
+                                return 0
+
+                            def row_group(g, _):
+                                g0 = g * ROW_GROUP
+                                grp = pl.ds(g0, ROW_GROUP)
+                                grp_any = jnp.max(tri_sc[7, grp, :])
+
+                                @pl.when(grp_any > 0.0)
+                                def _grp_body():
+                                    jax.lax.fori_loop(g0, g0 + ROW_GROUP,
+                                                      row, 0)
                                 return 0
 
                             jax.lax.fori_loop(0, TILE_ROWS // ROW_GROUP,
