@@ -105,9 +105,13 @@ from .megakernel import (BIG, LANES, N_FIELDS, TWO_PI, _U32, _camera_table,
 # ~11.5 MB ring still fits).
 TILE_ROWS = 32
 TILE = TILE_ROWS * LANES
-N_REC = 11         # ox,oy,oz,dx,dy,dz,tr,tg,tb,sample,depth per record
+# ox,oy,oz,dx,dy,dz,tr,tg,tb,sample,depth,winner per record.  The winner
+# code (-1 miss, else sphere index; n_spheres = triangle in the mesh
+# variant) is stored by the fill so the reverse sweep never re-runs the
+# intersection argmin — its winner is bitwise the fill's by construction.
+N_REC = 12
 (R_OX, R_OY, R_OZ, R_DX, R_DY, R_DZ, R_TR, R_TG, R_TB,
- R_S, R_K) = range(N_REC)
+ R_S, R_K, R_WIN) = range(N_REC)
 # Ring slots per round.  Must be >= max_depth so a freshly restarted path
 # always completes within one round (forward progress); 64 keeps the ring
 # under 6 MB at (16, 128) tiles and the abandoned-path waste ~4%.
@@ -135,12 +139,10 @@ CAM_SLOTS = (C_OX, C_OY, C_OZ, C_HX, C_HY, C_HZ, C_VX, C_VY, C_VZ,
  S_S, S_K) = range(20)
 N_ST = 20
 
-# Mesh-variant extra record rows: winner code (-1 miss, [0,n_spheres)
-# sphere index, n_spheres = triangle), raw geometric normal, hit t.  The
-# reverse sweep reads the winner from the ring instead of re-running the
-# intersection (the triangle fold is far too heavy to replay per slot).
-N_REC_MESH = N_REC + 5
-(R_WIN, R_NX, R_NY, R_NZ, R_T) = range(N_REC, N_REC_MESH)
+# Mesh-variant extra record rows: raw geometric winner normal + hit t
+# (the winner code itself lives in the base ring's R_WIN row).
+N_REC_MESH = N_REC + 4
+(R_NX, R_NY, R_NZ, R_T) = range(N_REC, N_REC_MESH)
 # Mesh-variant tile height: the ring grows by 5 rows and the MXU weight
 # table (~4 MB for the F1 car) must stay resident, so the tile halves
 # again vs the sphere kernel.  2-D image tiles (tile_rows x LANES pixels)
@@ -376,31 +378,35 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
     def winner_bounce(cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz,
                       tr, tg, tb, active, term_allowed,
                       a0, a1, a2, a3, b0, b1,
-                      rec_info=None, mesh_mat=None, hdr_sky=None):
+                      win_code=None, mesh_rec=None, mesh_mat=None,
+                      hdr_sky=None):
         """One bounce for the REVERSE sweep, restructured so its vjp
         carries O(1) tile-sized residuals in the sphere count.
 
-        The intersection argmin runs on stop_gradient'ed inputs (primal
-        only — the winner index and hit mask are discrete); the
-        differentiable part gathers the WINNER's parameters with linear
-        one-hot folds (whose transpose yields the per-sphere scalar
-        cotangents) and recomputes t from them — the same expressions in
-        the same order as the argmin loop, so t is bitwise-equal to
-        best_t on hit lanes.  Gradients are mathematically identical to
-        differentiating the full loop: the interior-derivative convention
-        routes d(best_t) through the argmin winner only, and the loop's
-        where-folds gave every non-winner branch an exactly-zero
-        cotangent.  Without this, 100-sphere scenes overflow the 16 MB
-        scoped-VMEM limit (O(n_spheres) vjp residuals; measured).
+        The winner index and hit mask are discrete, so they come straight
+        from the ring (the fill stored its argmin — no re-intersection at
+        all in the reverse sweep); the differentiable part gathers the
+        WINNER's parameters with linear one-hot folds (whose transpose
+        yields the per-sphere scalar cotangents) and recomputes t from
+        them — the same expressions in the same order as the argmin loop,
+        so t is bitwise-equal to best_t on hit lanes.  Gradients are
+        mathematically identical to differentiating the full loop: the
+        interior-derivative convention routes d(best_t) through the
+        argmin winner only, and the loop's where-folds gave every
+        non-winner branch an exactly-zero cotangent.  Without this,
+        100-sphere scenes overflow the 16 MB scoped-VMEM limit
+        (O(n_spheres) vjp residuals; measured).
 
-        rec_info (mesh variant) = (win_code, rnx, rny, rnz, t_rec) read
-        from the ring: the winner comes from the record instead of a
-        re-intersection (replaying the triangle fold per slot would
-        dominate), and triangle-winner lanes get a differentiable hit
-        via the stored plane: t(o, d) = t_rec + plane_t - sg(plane_t)
-        (primal exactly t_rec; derivative the ray-plane intersection's,
-        which is the exact interior derivative for a fixed triangle).
-        mesh_mat = the uniform mesh material scalars (constants)."""
+        win_code is the ring-recorded winner (-1 miss, sphere index, or
+        n_spheres = triangle in the mesh variant): the winner comes from
+        the record instead of a re-intersection (bitwise the fill's
+        argmin by construction — the fill stored it).  mesh_rec (mesh
+        variant) = (rnx, rny, rnz, t_rec): triangle-winner lanes get a
+        differentiable hit via the stored plane: t(o, d) = t_rec +
+        plane_t - sg(plane_t) (primal exactly t_rec; derivative the
+        ray-plane intersection's, which is the exact interior derivative
+        for a fixed triangle).  mesh_mat = the uniform mesh material
+        scalars (constants)."""
         shape = ox.shape
         sg = jax.lax.stop_gradient
 
@@ -411,8 +417,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         inv_a = 1.0 / a
         inv_len = jax.lax.rsqrt(a)
         mesh_over = None
-        if rec_info is not None:
-            win_code, rnx, rny, rnz, t_rec = rec_info
+        if mesh_rec is not None:
+            rnx, rny, rnz, t_rec = mesh_rec
             is_tri = win_code == jnp.float32(n_spheres)
             hit_sph = (win_code >= 0.0) & ~is_tri
             best_i = win_code.astype(jnp.int32)
@@ -428,10 +434,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                          m_alr, m_alg, m_alb, m_fuzz, m_ior, m_invior,
                          m_mtype)
         else:
-            sph_p = tuple(tuple(sg(s) for s in row) for row in sph_s)
-            _, best_i = _intersect(sph_p, sg(ox), sg(oy), sg(oz),
-                                   sg(dx), sg(dy), sg(dz), sg(a),
-                                   sg(inv_a))
+            hit_sph = win_code >= 0.0
+            best_i = jnp.maximum(win_code, 0.0).astype(jnp.int32)
 
         def wgather(field, init=0.0):
             v = jnp.full(shape, init, jnp.float32)
@@ -461,15 +465,11 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         ok0 = (disc >= 0.0) & (r0 >= t_min)
         ok1 = (disc >= 0.0) & (r1 >= t_min)
         t_w = jnp.where(ok0, r0, jnp.where(ok1, r1, BIG))
-        # a lane hit iff its winner's root is valid: for non-hit lanes
-        # every sphere's t_i was BIG, including best_i's (= sphere 0)
-        if rec_info is not None:
-            # the record already says who won; t_w is only meaningful on
-            # sphere-winner lanes (shade overrides triangle lanes and
-            # ignores best_t on miss lanes)
-            hit = hit_sph | is_tri
-        else:
-            hit = t_w < BIG
+        # the record already says who won; t_w is only meaningful on
+        # sphere-winner lanes (shade overrides triangle lanes and
+        # ignores best_t on miss lanes).  hit equals the fill's bitwise:
+        # a recorded winner implies its recomputed root is valid.
+        hit = (hit_sph | is_tri) if mesh_rec is not None else hit_sph
         best_t = t_w
 
         return shade(cam_s, ox, oy, oz, dx, dy, dz, tr, tg, tb,
@@ -844,21 +844,20 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                     rec[R_K, rows, :] = jnp.where(active, k_f, -1.0)
                 a0, a1, a2, a3, b0, b1 = draws(s_to_u(s_f), k_f)
                 term_allowed = k_f + 1.0 < jnp.float32(max_depth)
-                pre = None
                 mesh_over = None
+                a_q = _dot3(dx, dy, dz, dx, dy, dz)
+                best_t, best_i = _intersect(
+                    sph_s, ox, oy, oz, dx, dy, dz, a_q, 1.0 / a_q)
+                pre = (best_t, best_i)
+                win_code = jnp.where(best_t < BIG,
+                                     best_i.astype(jnp.float32), -1.0)
                 if mesh is not None:
-                    a_q = _dot3(dx, dy, dz, dx, dy, dz)
-                    best_t, best_i = _intersect(
-                        sph_s, ox, oy, oz, dx, dy, dz, a_q, 1.0 / a_q)
                     tri_fold(active, best_t)
                     tri_t = tri_sc[0]
                     tri_win = tri_t < best_t
-                    win_code = jnp.where(
-                        tri_win, jnp.float32(n_spheres),
-                        jnp.where(best_t < BIG,
-                                  best_i.astype(jnp.float32), -1.0))
+                    win_code = jnp.where(tri_win, jnp.float32(n_spheres),
+                                         win_code)
                     if hdr_mode != "emit":
-                        rec[R_WIN, rows, :] = win_code
                         rec[R_NX, rows, :] = tri_sc[1]
                         rec[R_NY, rows, :] = tri_sc[2]
                         rec[R_NZ, rows, :] = tri_sc[3]
@@ -876,11 +875,12 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                 sel, dy, dsc[3 * _s + 1])
                             dsc[3 * _s + 2] = jnp.where(
                                 sel, dz, dsc[3 * _s + 2])
-                    pre = (best_t, best_i)
                     mesh_over = (tri_win, tri_t,
                                  tri_sc[1], tri_sc[2], tri_sc[3],
                                  m_alr, m_alg, m_alb, m_fuzz, m_ior,
                                  m_invior, jnp.float32(mesh_mtype))
+                if hdr_mode != "emit":
+                    rec[R_WIN, rows, :] = win_code
                 hdr_zero = ((zero, zero, zero)
                             if sky_kind == KIND_HDR else None)
                 (o2x, o2y, o2z, d2x, d2y, d2z, t2r, t2g, t2b,
@@ -943,14 +943,14 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 s_u = s_to_u(s_rec)
                 a0, a1, a2, a3, b0, b1 = draws(s_u, k_safe)
                 term_allowed = k_safe + 1.0 < jnp.float32(max_depth)
+                win_rec = rec[R_WIN, rows, :]
                 if mesh is not None:
-                    rec_info = (rec[R_WIN, rows, :], rec[R_NX, rows, :],
-                                rec[R_NY, rows, :], rec[R_NZ, rows, :],
-                                rec[R_T, rows, :])
+                    mesh_rec = (rec[R_NX, rows, :], rec[R_NY, rows, :],
+                                rec[R_NZ, rows, :], rec[R_T, rows, :])
                     mesh_mat = (m_alr, m_alg, m_alb, m_fuzz, m_ior,
                                 m_invior, jnp.float32(mesh_mtype))
                 else:
-                    rec_info = mesh_mat = None
+                    mesh_rec = mesh_mat = None
                 if hdr_mode == "consume":
                     # the record's sample selects its (constant) sky value
                     sk0r = zero
@@ -969,7 +969,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                     out = winner_bounce(cam_t, sph_t, mtypes, ox, oy, oz,
                                         dx, dy, dz, tr, tg, tb, alive,
                                         term_allowed, a0, a1, a2, a3,
-                                        b0, b1, rec_info=rec_info,
+                                        b0, b1, win_code=win_rec,
+                                        mesh_rec=mesh_rec,
                                         mesh_mat=mesh_mat,
                                         hdr_sky=hdr_sky_rec)
                     return out[:12]          # drop the bool cont

@@ -69,12 +69,20 @@ from .megakernel import (BIG, LANES, N_FIELDS, TWO_PI, _U32, _camera_table,
 
 TILE_ROWS = 64
 TILE = TILE_ROWS * LANES
-MESH_CHUNK = 1024          # triangles per cluster chunk (measured best on
-                           # the F1 scene: 1024 -> 3.58 s vs 512 -> 3.97 s
-                           # vs 2048 -> 4.18 s — fewer per-iteration chunk
-                           # gates vs coarser culling)
-ROW_GROUP = 8              # rows per gating group in the intersection loop
-ROW_GATED = True           # per-row pl.when gates inside an active group
+MESH_CHUNK = 256           # triangles per cluster chunk (round-3 sweep at
+                           # SUB=8: the (4*256, SUB*128) f32 product (4 MB)
+                           # is the largest that fits scoped VMEM — 512
+                           # overflows by ~0.9 MB with the HDR record rows)
+# Pixel rows batched per intersection matmul.  The TPU matmul unit is
+# LATENCY-bound at these contraction sizes (K=16): a (16,4C)x(16,128)
+# per-pixel-row dot costs the same wall time as a (16,4C)x(16,1024) one
+# (measured ~13 us either way), so the tile state is stored (N_SUB, SUB*128)
+# — SUB pixel rows per storage row — and each matmul intersects SUB rows at
+# once with NO relayout (features slice straight out of the state planes).
+SUB = 8
+SUBL = SUB * LANES         # matmul N (lanes per storage row)
+N_SUB = TILE_ROWS // SUB   # storage rows per tile
+ROW_GATED = True           # per-storage-row pl.when gates in the fold
 HDR_SPP_CHUNK = 8          # samples per dispatch in HDR mode (records)
 SPHERE_CHUNK_MIN = 24      # sphere count above which sphere-only scenes
                            # route through this kernel: its 2-D image
@@ -108,11 +116,14 @@ SPHERE_CHUNK_SIZE = 16
 # ok flag; render_pallas_mesh re-renders with a single uncapped round if
 # any flag trips (capacities carry ~2x margins — in practice never).
 PASS1_ITER_FACTOR = 2      # round-0 cap = factor*spp + slack
-PASS1_ITER_SLACK = 4
+PASS1_ITER_SLACK = 0
 # Continuation rounds: (cap_factor, cap_slack, capacity_denominator); the
 # denominator divides the PADDED full-grid lane count for the state
 # entering that round.  Margins vs the measured survival curve are ~2x.
-EXTRA_ROUNDS = ((2, 2, 2), (2, 4, 4), (3, 5, 8), (4, 4, 16))
+# Round-3 re-sweep on the F1 scene (5 spp/d32): earlier compaction with
+# smaller caps beats the round-2 ladder 2.02 s -> 1.97 s; tightening the
+# DENOMINATORS instead trips the ok-flag fallback (4.8-5.6 s re-renders).
+EXTRA_ROUNDS = ((1, 3, 2), (2, 0, 4), (2, 4, 8), (4, 0, 16))
 FINAL_DENOM = 32           # capacity of the final uncapped round
 N_CONT = 12                # continuation-state rows: pix, o3, d3, thr3,
                            # sample, depth
@@ -167,7 +178,7 @@ def _compact_state(state_flat, spp_c: int, n2: int):
     packed dispatch then share locality AND ray orientation, so the
     per-row cluster gates and front-to-back entry-t culls keep firing),
     and keep the first n2 (a TILE multiple <= lane count).  Returns
-    (state2 (N_CONT, n2//LANES, LANES), ok) where ok = no live lane was
+    (state2 (N_CONT, n2//SUBL, SUBL), ok) where ok = no live lane was
     dropped (capacity soundness; see module constants)."""
     alive = (state_flat[10] < spp_c) & (state_flat[0] >= 0)
     o = state_flat[1:4]
@@ -183,7 +194,7 @@ def _compact_state(state_flat, spp_c: int, n2: int):
     order = jnp.argsort(key)
     sel = order[:n2]
     ok = jnp.sum(alive) <= n2
-    return state_flat[:, sel].reshape(N_CONT, n2 // LANES, LANES), ok
+    return state_flat[:, sel].reshape(N_CONT, n2 // SUBL, SUBL), ok
 
 
 def _round_capacity(p_tot: int, L: int, denom: int) -> int:
@@ -191,6 +202,18 @@ def _round_capacity(p_tot: int, L: int, denom: int) -> int:
     (p_tot), tile-rounded, at least one tile, never more than the entering
     state's lane count L."""
     return min(L, max(TILE, -(-(p_tot // denom) // TILE) * TILE))
+
+def _delane(a, n_tr: int, n_tc: int):
+    """Kernel lane layout -> image layout.
+
+    Kernel arrays are (..., n_tr*N_SUB, n_tc*SUBL): storage row s of tile
+    (i, j), lane b*LANES + x holds pixel (i*TILE_ROWS + s*SUB + b,
+    j*LANES + x).  Returns (..., n_tr*TILE_ROWS, n_tc*LANES)."""
+    lead = a.shape[:-2]
+    a = a.reshape(*lead, n_tr, N_SUB, n_tc, SUB, LANES)
+    a = jnp.moveaxis(a, -2, -3)           # (..., i, s, b, j, x)
+    return a.reshape(*lead, n_tr * TILE_ROWS, n_tc * LANES)
+
 
 # Extra camera-table slots for the uniform mesh material (after C_SKY2=21).
 (C_MA_R, C_MA_G, C_MA_B, C_M_FUZZ, C_M_IOR, C_M_INVIOR) = range(22, 28)
@@ -239,7 +262,7 @@ def _make_kernel(n_spheres: int, width: int, height: int,
             sout = io[pos]
             pos += 1
         st, acc, tri_sc = io[pos], io[pos + 1], io[pos + 2]
-        shape = (TILE_ROWS, LANES)
+        shape = (N_SUB, SUBL)
         if continuation:
             # packed lanes: pixel ids (f32-exact ints, -1 padding) come
             # from the state rows, not the grid position
@@ -249,16 +272,18 @@ def _make_kernel(n_spheres: int, width: int, height: int,
             px_i = lin % width
             py_i = lin // width
         else:
-            # 2-D image tiles (TILE_ROWS x LANES pixel blocks): primary
-            # rays in a tile are spatially compact, so the per-tile
-            # cluster gates actually fire — a linear 8192-pixel tile spans
-            # the full image width and defeats culling.
+            # 2-D image tiles (TILE_ROWS x LANES pixel blocks) stored as
+            # (N_SUB, SUB*LANES): storage row s, lane b*LANES+x = pixel
+            # (tile_y + s*SUB + b, tile_x + x).  Spatially compact tiles
+            # are what make the cluster gates fire — a linear 8192-pixel
+            # tile spans the full image width and defeats culling.
             ti = pl.program_id(0)
             tj = pl.program_id(1)
-            px_i = (tj * LANES
-                    + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
-            py_i = (off_ref[0, 0] + ti * TILE_ROWS
-                    + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+            lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            srow = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            px_i = tj * LANES + jax.lax.rem(lane, LANES)
+            py_i = (off_ref[0, 0] + ti * TILE_ROWS + srow * SUB
+                    + jax.lax.div(lane, LANES))
             valid = (px_i < width) & (py_i < off_ref[0, 3])
             lin = py_i * width + px_i
         pix_u = lin.astype(_U32)
@@ -466,8 +491,8 @@ def _make_kernel(n_spheres: int, width: int, height: int,
 
                 @pl.when(top_any > 0)
                 def _mesh():
-                    ones_row = jnp.ones((1, LANES), jnp.float32)
-                    zeros_rows = jnp.zeros((6, LANES), jnp.float32)
+                    ones_row = jnp.ones((1, SUBL), jnp.float32)
+                    zeros_rows = jnp.zeros((6, SUBL), jnp.float32)
                     for ci in range(n_chunks):
                         cl_hit, cl_lo = slab(aabb_ref, ci)
                         # entry-t culling: a cluster whose AABB entry lies
@@ -551,7 +576,7 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                                                    keepdims=True)
                                     ai = jnp.argmin(tt, axis=0)
                                     oh = (jax.lax.broadcasted_iota(
-                                        jnp.int32, (chunk, LANES), 0)
+                                        jnp.int32, (chunk, SUBL), 0)
                                         == ai[None, :]).astype(jnp.float32)
                                     # winner rows: [nx, ny, nz] via the
                                     # weight table + exact t via Newton-
@@ -581,15 +606,9 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                                         upd, nrm[2:3, :], tri_sc[3, r1, :])
                                 return 0
 
-                            # Row-loop structure notes (all measured on
-                            # the F1 scene): full Python unrolling of the
-                            # 64 gated rows compiles for 15+ min and runs
-                            # SLOWER (2.44 s vs 2.02 s) — the fori
-                            # bookkeeping overlaps the MXU work in situ,
-                            # and the code bloat hurts; microbenchmarks
-                            # without gates overstate fori cost.  Keep the
-                            # fori ladder; gating granularity is set by
-                            # ROW_GATED / ROW_GROUP.
+                            # One matmul per STORAGE row (SUB pixel rows,
+                            # SUBL lanes): the matmul is latency-bound at
+                            # K=16, so batching rows is ~free (see SUB).
                             def row(r, _):
                                 if ROW_GATED:
                                     row_any = jnp.max(tri_sc[7,
@@ -602,19 +621,7 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                                     _intersect_row(pl.ds(r, 1))
                                 return 0
 
-                            def row_group(g, _):
-                                g0 = g * ROW_GROUP
-                                grp = pl.ds(g0, ROW_GROUP)
-                                grp_any = jnp.max(tri_sc[7, grp, :])
-
-                                @pl.when(grp_any > 0.0)
-                                def _grp_body():
-                                    jax.lax.fori_loop(g0, g0 + ROW_GROUP,
-                                                      row, 0)
-                                return 0
-
-                            jax.lax.fori_loop(0, TILE_ROWS // ROW_GROUP,
-                                              row_group, 0)
+                            jax.lax.fori_loop(0, N_SUB, row, 0)
 
             tri_t = tri_sc[0]
             tri_win = tri_t < best_t
@@ -991,6 +998,9 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
         sky = sky_colour(scene.sky, dirs)
         return jnp.sum(thr * sky, axis=0)                # (L, 3)
 
+    def delane3(r, g, b):
+        return _delane(jnp.stack([r, g, b]), n_tr, n_tc)
+
     for s_base in range(0, cfg.spp, spp_step):
         spp_c = min(spp_step, cfg.spp - s_base)
         bound = spp_c * cfg.max_depth + 1
@@ -1018,10 +1028,13 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
             r, g, b = out[:3]
             recs = out[3] if hdr else None
             if ri == 0:
-                acc = acc + jnp.stack([r, g, b])
+                acc = acc + delane3(r, g, b)
                 if hdr:
-                    sky_sum = sky_sum + sky_of_records(
-                        recs, spp_c).reshape(hp, wp, 3)
+                    sky_l = sky_of_records(recs, spp_c)   # lane order
+                    sky_img = _delane(
+                        sky_l.reshape(n_tr * N_SUB, n_tc * SUBL, 3)
+                        .transpose(2, 0, 1), n_tr, n_tc)
+                    sky_sum = sky_sum + sky_img.transpose(1, 2, 0)
             else:
                 # scatter the packed round's contributions back by pixel id
                 pix2 = state2[0].reshape(-1).astype(jnp.int32)
@@ -1091,56 +1104,56 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
         cam_tab, sph_tab, w_flat, aabb, boxes, sph_box,
     ]
     scratch = [
-        pltpu.VMEM((N_STATE, TILE_ROWS, LANES), jnp.float32),
-        pltpu.VMEM((3, TILE_ROWS, LANES), jnp.float32),
-        pltpu.VMEM((10, TILE_ROWS, LANES), jnp.float32),
+        pltpu.VMEM((N_STATE, N_SUB, SUBL), jnp.float32),
+        pltpu.VMEM((3, N_SUB, SUBL), jnp.float32),
+        pltpu.VMEM((10, N_SUB, SUBL), jnp.float32),
     ]
 
     if continuation:
-        # packed-lane tiles: 1-D grid over (n_t2 * TILE_ROWS, LANES)
+        # packed-lane tiles: 1-D grid over (n_t2 * N_SUB, SUBL)
         lp = state_in.shape[1]
-        n_t2 = lp // TILE_ROWS
+        n_t2 = lp // N_SUB
         grid = (n_t2,)
-        in_specs.append(pl.BlockSpec((N_CONT, TILE_ROWS, LANES),
+        in_specs.append(pl.BlockSpec((N_CONT, N_SUB, SUBL),
                                      lambda i: (0, i, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(state_in)
-        lane_shape = jax.ShapeDtypeStruct((lp, LANES), jnp.float32)
+        lane_shape = jax.ShapeDtypeStruct((lp, SUBL), jnp.float32)
         out_shape = [lane_shape, lane_shape, lane_shape]
-        out_specs = [pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+        out_specs = [pl.BlockSpec((N_SUB, SUBL), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
                      for _ in range(3)]
         if hdr:
             out_shape.append(jax.ShapeDtypeStruct(
-                (6 * spp_c, lp, LANES), jnp.float32))
-            out_specs.append(pl.BlockSpec((6 * spp_c, TILE_ROWS, LANES),
+                (6 * spp_c, lp, SUBL), jnp.float32))
+            out_specs.append(pl.BlockSpec((6 * spp_c, N_SUB, SUBL),
                                           lambda i: (0, i, 0),
                                           memory_space=pltpu.VMEM))
         if emit_state:
             out_shape.append(jax.ShapeDtypeStruct(
-                (N_CONT, lp, LANES), jnp.float32))
-            out_specs.append(pl.BlockSpec((N_CONT, TILE_ROWS, LANES),
+                (N_CONT, lp, SUBL), jnp.float32))
+            out_specs.append(pl.BlockSpec((N_CONT, N_SUB, SUBL),
                                           lambda i: (0, i, 0),
                                           memory_space=pltpu.VMEM))
     else:
-        hp, wp = n_tr * TILE_ROWS, n_tc * LANES
+        hl, wl = n_tr * N_SUB, n_tc * SUBL
         grid = (n_tr, n_tc)
-        tile_shape = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+        tile_shape = jax.ShapeDtypeStruct((hl, wl), jnp.float32)
         out_shape = [tile_shape, tile_shape, tile_shape]
-        out_specs = [pl.BlockSpec((TILE_ROWS, LANES),
+        out_specs = [pl.BlockSpec((N_SUB, SUBL),
                                   lambda i, j: (i, j),
                                   memory_space=pltpu.VMEM)
                      for _ in range(3)]
         if hdr:
             out_shape.append(jax.ShapeDtypeStruct(
-                (6 * spp_c, hp, wp), jnp.float32))
-            out_specs.append(pl.BlockSpec((6 * spp_c, TILE_ROWS, LANES),
+                (6 * spp_c, hl, wl), jnp.float32))
+            out_specs.append(pl.BlockSpec((6 * spp_c, N_SUB, SUBL),
                                           lambda i, j: (0, i, j),
                                           memory_space=pltpu.VMEM))
         if emit_state:
             out_shape.append(jax.ShapeDtypeStruct(
-                (N_CONT, hp, wp), jnp.float32))
-            out_specs.append(pl.BlockSpec((N_CONT, TILE_ROWS, LANES),
+                (N_CONT, hl, wl), jnp.float32))
+            out_specs.append(pl.BlockSpec((N_CONT, N_SUB, SUBL),
                                           lambda i, j: (0, i, j),
                                           memory_space=pltpu.VMEM))
 
