@@ -69,10 +69,14 @@ from .megakernel import (BIG, LANES, N_FIELDS, TWO_PI, _U32, _camera_table,
 
 TILE_ROWS = 64
 TILE = TILE_ROWS * LANES
-MESH_CHUNK = 256           # triangles per cluster chunk (round-3 sweep at
-                           # SUB=8: the (4*256, SUB*128) f32 product (4 MB)
-                           # is the largest that fits scoped VMEM — 512
-                           # overflows by ~0.9 MB with the HDR record rows)
+MESH_CHUNK = 128           # triangles per cluster chunk.  Round-3 sweep on
+                           # the F1 scene (fired-row counting showed ~17 of
+                           # 60 256-tri chunks firing per live row-bounce at
+                           # ~4.1 us each — the K=16 MXU roofline): finer
+                           # chunks halve the per-fired-row matmul+ladder
+                           # cost and the fired count grows sublinearly.
+                           # 64: 1.95 s, 128: 1.76 s, 256: 2.01 s, 512:
+                           # scoped-VMEM overflow (F1+HDR 5spp/d32 ladder).
 # Pixel rows batched per intersection matmul.  The TPU matmul unit is
 # LATENCY-bound at these contraction sizes (K=16): a (16,4C)x(16,128)
 # per-pixel-row dot costs the same wall time as a (16,4C)x(16,1024) one
@@ -119,12 +123,14 @@ PASS1_ITER_FACTOR = 2      # round-0 cap = factor*spp + slack
 PASS1_ITER_SLACK = 0
 # Continuation rounds: (cap_factor, cap_slack, capacity_denominator); the
 # denominator divides the PADDED full-grid lane count for the state
-# entering that round.  Margins vs the measured survival curve are ~2x.
-# Round-3 re-sweep on the F1 scene (5 spp/d32): earlier compaction with
-# smaller caps beats the round-2 ladder 2.02 s -> 1.97 s; tightening the
-# DENOMINATORS instead trips the ok-flag fallback (4.8-5.6 s re-renders).
-EXTRA_ROUNDS = ((1, 3, 2), (2, 0, 4), (2, 4, 8), (4, 0, 16))
-FINAL_DENOM = 32           # capacity of the final uncapped round
+# entering that round.  Round-3 ladder re-design from a MEASURED survival
+# curve (F1 5spp/d32, capped _dispatch + alive count: 36.1% alive after 10
+# iters, 20.1% @16, 13.2% @24, 9.4% @32, 6.5% @40): eager 7-round ladders
+# with denominators ~1.4-1.9x above the curve beat the round-2 ladder
+# 2.01 s -> 1.69 s (at MESH_CHUNK=128); tighter denominators trip the
+# ok-flag fallback (single-round re-render, 3.8 s) — keep the margins.
+EXTRA_ROUNDS = ((1, 1, 2), (1, 3, 3), (2, 2, 5), (3, 1, 8), (4, 4, 14))
+FINAL_DENOM = 28           # capacity of the final uncapped round
 N_CONT = 12                # continuation-state rows: pix, o3, d3, thr3,
                            # sample, depth
 
@@ -233,7 +239,7 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                  n_boxes: int, mesh_mtype: int,
                  continuation: bool = False, iter_cap: int | None = None,
                  emit_state: bool = False, sphere_spec=None,
-                 sph_chunks=None):
+                 sph_chunks=None, count_fires: bool = False):
     """Kernel body with all structure baked statically.
 
     spp here is the per-dispatch sample count (HDR chunks the sample loop).
@@ -261,7 +267,11 @@ def _make_kernel(n_spheres: int, width: int, height: int,
         if emit_state:
             sout = io[pos]
             pos += 1
+        if count_fires:
+            cnt_ref = io[pos]                   # (1, 4) SMEM per tile
+            pos += 1
         st, acc, tri_sc = io[pos], io[pos + 1], io[pos + 2]
+        cnt_sc = io[pos + 3] if count_fires else None
         shape = (N_SUB, SUBL)
         if continuation:
             # packed lanes: pixel ids (f32-exact ints, -1 padding) come
@@ -354,6 +364,13 @@ def _make_kernel(n_spheres: int, width: int, height: int,
         acc[0] = zero
         acc[1] = zero
         acc[2] = zero
+        if count_fires:
+            cnt_sc[0] = 0.0      # wavefront iterations
+            cnt_sc[1] = 0.0      # fired chunk-row matmuls
+            cnt_sc[2] = 0.0      # alive lane-iterations
+            cnt_sc[3] = 0.0      # fired chunks
+            cnt_sc[4] = 0.0      # improving rows (winner extractions)
+            cnt_sc[5] = 0.0      # spare
         if hdr:
             for s in range(spp):
                 rec[6 * s + 0] = zero
@@ -386,6 +403,9 @@ def _make_kernel(n_spheres: int, width: int, height: int,
             sample_f = st[S_SAMPLE]
             depth_f = st[S_DEPTH]
             active = sample_f < spp_f
+            if count_fires:
+                cnt_sc[0] = cnt_sc[0] + 1.0
+                cnt_sc[2] = cnt_sc[2] + jnp.sum(active.astype(jnp.float32))
             s_u = (sample_f.astype(jnp.int32) + sample_base).astype(_U32)
 
             # ---- closest hit over spheres (HitSphere fold) ----
@@ -509,7 +529,15 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                         s_c = jnp.max(m_c.astype(jnp.int32))
 
                         @pl.when(s_c > 0)
-                        def _chunk(ci=ci):
+                        def _chunk(ci=ci, m_c=m_c):
+                            if count_fires:
+                                m_cf = m_c.astype(jnp.float32)
+                                fired = jnp.float32(0.0)
+                                for r0 in range(N_SUB):
+                                    fired = fired + jnp.where(
+                                        jnp.max(m_cf[r0]) > 0.0, 1.0, 0.0)
+                                cnt_sc[1] = cnt_sc[1] + fired
+                                cnt_sc[3] = cnt_sc[3] + 1.0
                             w = w_ref[:, ci * c4:(ci + 1) * c4]
                             n_cols = w_ref[6:9,
                                            ci * c4 + 3 * chunk:
@@ -561,6 +589,10 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                                        & (ts < old * abs_a)
                                        & gate)
                                 any_imp = jnp.max(imp.astype(jnp.int32))
+
+                                if count_fires:
+                                    cnt_sc[4] = cnt_sc[4] + jnp.where(
+                                        any_imp > 0, 1.0, 0.0)
 
                                 @pl.when(any_imp > 0)
                                 def _extract():
@@ -784,6 +816,12 @@ def _make_kernel(n_spheres: int, width: int, height: int,
         r_ref[:] = acc[0]
         g_ref[:] = acc[1]
         b_ref[:] = acc[2]
+        if count_fires:
+            # whole-array SMEM output: index by grid position
+            ci0 = pl.program_id(0)
+            cj0 = pl.program_id(1) * 6 if not continuation else 0
+            for k0 in range(6):
+                cnt_ref[ci0, cj0 + k0] = cnt_sc[k0]
         if emit_state:
             sout[0] = jnp.where(valid, lin.astype(jnp.float32), -1.0)
             sout[1] = st[S_OX]
@@ -833,8 +871,11 @@ def supports_mesh(scene: Scene, cfg: RenderConfig) -> bool:
     if scene.spheres.count > 128:
         return False
     if (scene.triangles.count == 0 and scene.sky.kind != KIND_HDR
-            and scene.spheres.count < SPHERE_CHUNK_MIN):
-        return False      # small sphere scenes use kernels/megakernel.py
+            and scene.spheres.count < SPHERE_CHUNK_MIN and cfg.spp < 64):
+        return False      # small sphere scenes at low spp use
+        # kernels/megakernel.py; at spp >= 64 the multi-round tail
+        # compaction wins even for tiny sphere counts (README 250spp/d50
+        # measured: megakernel 0.280 s -> 0.228 s here)
     if scene.triangles.count > 0:
         if scene.boxes.count < 1:
             return False
@@ -964,7 +1005,8 @@ def render_pallas_mesh(scene: Scene, cfg: RenderConfig, seed: int = 0,
 
 def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
                              interpret, flags, plan, rows, pix_offset,
-                             schedule=None, return_ok=False):
+                             schedule=None, return_ok=False,
+                             count_fires=False):
     """Trace-safe fused-kernel call (flags/plan precomputed concretely).
 
     pix_offset must be a whole-row offset (a multiple of width) — the
@@ -988,6 +1030,7 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
     sky_sum = jnp.zeros((hp, wp, 3), jnp.float32)
     spp_step = HDR_SPP_CHUNK if hdr else cfg.spp
     ok = jnp.bool_(True)
+    fire_rounds = []
 
     def sky_of_records(recs, spp_c):
         # sum_s throughput_s * sky(direction_s) with XLA's native gathers
@@ -1006,7 +1049,8 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
         bound = spp_c * cfg.max_depth + 1
         if schedule is not None:
             sched = schedule
-        elif n_chunks > 0 or scene.spheres.count >= SPHERE_CHUNK_MIN:
+        elif (n_chunks > 0 or scene.spheres.count >= SPHERE_CHUNK_MIN
+              or spp_c >= 64):
             sched = _round_schedule(spp_c, cfg.max_depth)
         else:
             sched = ((bound, 1),)
@@ -1015,7 +1059,8 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
         for ri, (cap, denom) in enumerate(sched):
             last = ri == len(sched) - 1
             if ri > 0:
-                state_flat = out[-1].reshape(N_CONT, -1)
+                si = -2 if count_fires else -1
+                state_flat = out[si].reshape(N_CONT, -1)
                 n2 = _round_capacity(hp * wp, state_flat.shape[1], denom)
                 state2, ok_r = _compact_state(state_flat, spp_c, n2)
                 ok = jnp.logical_and(ok, ok_r)
@@ -1024,7 +1069,11 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
                 s_base, spp_c, n_tr, n_tc, w_flat, aabb, boxes, n_chunks,
                 chunk, bids, n_boxes, cam_tab, sph_tab, hdr,
                 iter_cap=min(cap, bound), emit_state=not last,
-                state_in=state2))
+                state_in=state2, count_fires=count_fires))
+            if count_fires:
+                # raw per-tile (iterations, fired rows, alive lane-iters,
+                # fired chunks, improving rows, spare) — callers aggregate
+                fire_rounds.append(out[-1].reshape(-1, 6))
             r, g, b = out[:3]
             recs = out[3] if hdr else None
             if ri == 0:
@@ -1057,13 +1106,16 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
         img = img + sky_sum
     img = img * jnp.float32(1.0 / cfg.spp)
     img = img[:rows, :cfg.width]
+    if count_fires:
+        return img, ok, fire_rounds
     return (img, ok) if return_ok else img
 
 
 def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
               s_base, spp_c, n_tr, n_tc, w_flat, aabb, boxes, n_chunks,
               chunk, bids, n_boxes, cam_tab, sph_tab, hdr,
-              iter_cap=None, emit_state=False, state_in=None):
+              iter_cap=None, emit_state=False, state_in=None,
+              count_fires=False):
     (has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type,
      sph_spec, sph_plan) = flags
     sph_chunks = sph_plan[1] if sph_plan is not None else None
@@ -1083,7 +1135,7 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
         n_chunks=n_chunks, chunk=chunk, chunk_box_ids=bids,
         n_boxes=n_boxes, mesh_mtype=m_type, continuation=continuation,
         iter_cap=iter_cap, emit_state=emit_state, sphere_spec=sph_spec,
-        sph_chunks=sph_chunks)
+        sph_chunks=sph_chunks, count_fires=count_fires)
 
     in_specs = [
         pl.BlockSpec((1, 4), lambda *_: (0, 0), memory_space=pltpu.SMEM),
@@ -1135,6 +1187,9 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
             out_specs.append(pl.BlockSpec((N_CONT, N_SUB, SUBL),
                                           lambda i: (0, i, 0),
                                           memory_space=pltpu.VMEM))
+        if count_fires:
+            out_shape.append(jax.ShapeDtypeStruct((n_t2, 6), jnp.float32))
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     else:
         hl, wl = n_tr * N_SUB, n_tc * SUBL
         grid = (n_tr, n_tc)
@@ -1156,6 +1211,13 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
             out_specs.append(pl.BlockSpec((N_CONT, N_SUB, SUBL),
                                           lambda i, j: (0, i, j),
                                           memory_space=pltpu.VMEM))
+        if count_fires:
+            out_shape.append(jax.ShapeDtypeStruct((n_tr, n_tc * 6),
+                                                  jnp.float32))
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    if count_fires:
+        scratch.append(pltpu.SMEM((6,), jnp.float32))
 
     return pl.pallas_call(
         kernel,
@@ -1170,4 +1232,4 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
 
 _render_mesh_jit = functools.partial(jax.jit, static_argnames=(
     "cfg", "interpret", "flags", "plan", "rows", "schedule",
-    "return_ok"))(render_pallas_mesh_inner)
+    "return_ok", "count_fires"))(render_pallas_mesh_inner)

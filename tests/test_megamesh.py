@@ -76,6 +76,10 @@ def test_mesh_const_sky():
 def test_supports_predicate():
     cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4)
     assert not supports_mesh(ort.readme_scene(), cfg)  # megakernel's turf
+    # ... except at high spp, where the multi-round tail compaction wins
+    # even for tiny sphere counts
+    assert supports_mesh(ort.readme_scene(),
+                         dataclasses.replace(cfg, spp=64))
     assert supports_mesh(_mesh_scene(), cfg)
     # large sphere-only scenes route here (2-D tiles + multi-round beat
     # the linear-tile megakernel)
@@ -202,3 +206,11 @@ def test_compaction_overflow_falls_back():
                                            interpret=True,
                                            schedule=_uncapped(cfg)))
     np.testing.assert_allclose(via_public, single, atol=1e-6)
+
+
+def test_small_sphere_high_spp_ladder():
+    """README scene (5 spheres) at spp >= 64: routes through this kernel's
+    high-spp multi-round compaction ladder and must match the jnp tracer
+    (the megakernel covered this scene before; the ladder is faster)."""
+    cfg = ort.RenderConfig(width=32, height=16, spp=64, max_depth=6)
+    _compare(ort.readme_scene(), cfg)
