@@ -4,23 +4,71 @@ Scene + config = the reference's only published numbers (README.md:24-46):
 README 5-sphere scene, 1280x720, 250 spp, max depth 50.  Baseline:
 0.38 s on the author's GPU => 6.06e8 camera samples/s (BASELINE.md).
 
-Also measures the BASELINE.json target metric — camera samples/s
-forward+BACKWARD at the same config (scene-parameter gradients of an image
-loss via the differentiable wavefront VJP) — reported in "extra" alongside
-the headline forward number.
-
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+Output contract (driver-proof, learned from round 3's rc:124/parsed:null):
+the headline JSON line is printed IMMEDIATELY after the forward timing, so
+a hang in any later stage cannot zero out the round's evidence.  Extras
+(reference default F1+HDR scene, fwd+bwd) each run under a SIGALRM budget
+and a global deadline; when they finish, the merged headline line is
+printed AGAIN (same "metric"/"value", richer "extra") — a driver taking
+either the first or the last JSON line parses the same headline number.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
 BASELINE_SAMPLES_PER_S = 1280 * 720 * 250 / 0.38  # ~6.06e8 (README.md:42-46)
+
+# wall-clock budgets (seconds); remote cold compiles can take 1-18 min, so
+# extras are bounded individually and by a global deadline.
+SECTION_BUDGET_S = int(os.environ.get("BENCH_SECTION_BUDGET_S", "600"))
+GLOBAL_BUDGET_S = int(os.environ.get("BENCH_GLOBAL_BUDGET_S", "1800"))
+_T_START = time.monotonic()
+
+
+class _SectionTimeout(Exception):
+    pass
+
+
+def _alarm_handler(signum, frame):
+    raise _SectionTimeout()
+
+
+def _budgeted(name, fn, budget_s=SECTION_BUDGET_S):
+    """Run fn() under a SIGALRM budget + the global deadline; on timeout or
+    error, log and return None instead of killing the bench."""
+    remaining = GLOBAL_BUDGET_S - (time.monotonic() - _T_START)
+    budget = int(min(budget_s, remaining))
+    if budget <= 5:
+        print(f"# skipping {name}: global budget exhausted", file=sys.stderr)
+        return None
+    old = signal.signal(signal.SIGALRM, _alarm_handler)
+    signal.alarm(budget)
+    try:
+        return fn()
+    except _SectionTimeout:
+        print(f"# {name} timed out after {budget} s", file=sys.stderr)
+        return None
+    except Exception as e:
+        print(f"# {name} failed: {e}", file=sys.stderr)
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _emit(samples_per_s, extra):
+    print(json.dumps({
+        "metric": "camera_samples_per_s_fwd_1280x720x250spp_d50",
+        "value": round(samples_per_s, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 4),
+        "extra": extra,
+    }), flush=True)
 
 
 def main() -> int:
@@ -78,43 +126,38 @@ def main() -> int:
     samples_per_s = width * height * spp / dt
     print(f"# render: {dt:.3f} s  mean {mean:.4f}", file=sys.stderr)
 
+    # ---- headline, printed NOW so a later hang can't erase it ----
+    extra = {"fwd_seconds": round(dt, 3),
+             "fwd_first_call_seconds": round(t_first, 2)}
+    _emit(samples_per_s, dict(extra))
+
     # ---- the reference's DEFAULT scene (main.cpp:80-152): F1 car mesh +
     # 8 spheres + HDR skybox at the reference build config ----
-    extra = {}
-    try:
-        obj = "/root/reference/src/assets/models/f1_car.obj"
-        if os.path.exists(obj):
-            from opencl_ray_tracer_tpu.io.hdr import tone_map
-            from opencl_ray_tracer_tpu.io.obj import load_obj
-            from opencl_ray_tracer_tpu.io.procgen import make_sky_image
-            from opencl_ray_tracer_tpu.scene import Sky
+    def f1_section():
+        # reference default scene one-shot (F1 car -> torus fallback + HDR)
+        f1 = ort.flagship_scene()
+        f1_cfg = ort.RenderConfig()   # 1280x720x5spp/d32 defaults
+        img1 = ort.render(f1, f1_cfg, seed=21)
+        jax.block_until_ready(img1)
+        t0 = time.perf_counter()
+        img1 = ort.render(f1, f1_cfg, seed=22)
+        jax.block_until_ready(img1)
+        dt1 = time.perf_counter() - t0
+        assert not bool(jnp.isnan(img1).any())
+        print(f"# reference default scene (F1+HDR, 5spp/d32): "
+              f"{dt1:.3f} s", file=sys.stderr)
+        return {
+            "reference_scene_seconds": round(dt1, 3),
+            "reference_scene_samples_per_s": round(
+                f1_cfg.width * f1_cfg.height * f1_cfg.spp / dt1, 1),
+        }
 
-            tris, aabb = load_obj(obj, scale=(0.15, 0.15, 0.15),
-                                  translate=(0.0, -0.5, -1.0))
-            sky = Sky.hdr(tone_map(make_sky_image(1024, 512)))
-            f1 = ort.reference_scene(mesh_tris=tris, mesh_aabb=aabb,
-                                     sky=sky)
-            f1_cfg = ort.RenderConfig()   # 1280x720x5spp/d32 defaults
-            img1 = ort.render(f1, f1_cfg, seed=21)
-            jax.block_until_ready(img1)
-            t0 = time.perf_counter()
-            img1 = ort.render(f1, f1_cfg, seed=22)
-            jax.block_until_ready(img1)
-            dt1 = time.perf_counter() - t0
-            import jax.numpy as _jnp
-            assert not bool(_jnp.isnan(img1).any())
-            extra["reference_scene_seconds"] = round(dt1, 3)
-            extra["reference_scene_samples_per_s"] = round(
-                f1_cfg.width * f1_cfg.height * f1_cfg.spp / dt1, 1)
-            print(f"# reference default scene (F1+HDR, 5spp/d32): "
-                  f"{dt1:.3f} s", file=sys.stderr)
-    except Exception as e:
-        print(f"# reference-scene measurement failed: {e}",
-              file=sys.stderr)
+    r = _budgeted("reference-scene measurement", f1_section)
+    if r:
+        extra.update(r)
 
     # ---- forward+backward (BASELINE.json metric) ----
-    try:
-        import jax.numpy as jnp
+    def fwdbwd_section():
         from opencl_ray_tracer_tpu.tracer.render import render_grad_sampled
 
         loss_fn = lambda im: jnp.mean(im ** 2)
@@ -138,22 +181,20 @@ def main() -> int:
         fb = width * height * spp / dt_grad
         print(f"# fwd+bwd: {dt_grad:.3f} s  grad max {gmax:.2e}",
               file=sys.stderr)
-        extra.update({
+        return {
             "fwd_bwd_samples_per_s": round(fb, 1),
             "fwd_bwd_seconds": round(dt_grad, 3),
             "fwd_bwd_vs_gpu_fwd_baseline": round(
                 fb / BASELINE_SAMPLES_PER_S, 4),
-        })
-    except Exception as e:  # keep the headline metric robust
-        print(f"# fwd+bwd measurement failed: {e}", file=sys.stderr)
+        }
 
-    print(json.dumps({
-        "metric": "camera_samples_per_s_fwd_1280x720x250spp_d50",
-        "value": round(samples_per_s, 1),
-        "unit": "samples/s",
-        "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 4),
-        "extra": extra,
-    }))
+    r = _budgeted("fwd+bwd measurement", fwdbwd_section)
+    if r:
+        extra.update(r)
+
+    # re-emit the same headline with the full extras (drivers taking the
+    # last JSON line get this one; the value is identical either way)
+    _emit(samples_per_s, extra)
     return 0
 
 

@@ -102,6 +102,11 @@ SPHERE_CHUNK_MIN = 24      # sphere count above which sphere-only scenes
 # scenes where callers can lower the threshold.
 SPHERE_GATE_MIN = 10 ** 9
 SPHERE_CHUNK_SIZE = 16
+HIGH_SPP_MIN = 64          # spp at which the multi-round tail-compaction
+                           # ladder wins even for tiny sphere scenes
+                           # (README 250spp/d50: megakernel 0.280 s ->
+                           # 0.228 s here); shared by supports_mesh,
+                           # _round_schedule, and the dispatch loop
 
 # Multi-round tail compaction: round 0 runs the full-grid wavefront for at
 # most cap0 iterations; survivors — deep ground<->car interreflection
@@ -148,7 +153,7 @@ def _round_schedule(spp_c: int, max_depth: int) -> tuple:
     4x -> 8%, 5.6x -> 1.5%, 8x -> 0.4%).  Caps scale ~linearly in spp
     with ~2-4x capacity margins against that curve."""
     bound = spp_c * max_depth + 1
-    if spp_c >= 64:
+    if spp_c >= HIGH_SPP_MIN:
         c0 = int(2.8 * spp_c) + 8
         if bound <= 2 * c0:
             return ((bound, 1),)
@@ -268,7 +273,7 @@ def _make_kernel(n_spheres: int, width: int, height: int,
             sout = io[pos]
             pos += 1
         if count_fires:
-            cnt_ref = io[pos]                   # (1, 4) SMEM per tile
+            cnt_ref = io[pos]                   # (·, 6) SMEM per tile
             pos += 1
         st, acc, tri_sc = io[pos], io[pos + 1], io[pos + 2]
         cnt_sc = io[pos + 3] if count_fires else None
@@ -866,12 +871,15 @@ def supports_mesh(scene: Scene, cfg: RenderConfig) -> bool:
     deferred sky contributions (see module docstring).  Sphere-only
     gradient/const-sky scenes are covered from SPHERE_CHUNK_MIN spheres up
     (chunked gated fold + 2-D tiles + multi-round compaction beat the
-    megakernel there; render() dispatches here first).
+    megakernel there; render() dispatches here first) — and at ANY sphere
+    count once cfg.spp >= HIGH_SPP_MIN, where the high-spp compaction
+    ladder beats the megakernel even for tiny scenes.
     """
     if scene.spheres.count > 128:
         return False
     if (scene.triangles.count == 0 and scene.sky.kind != KIND_HDR
-            and scene.spheres.count < SPHERE_CHUNK_MIN and cfg.spp < 64):
+            and scene.spheres.count < SPHERE_CHUNK_MIN
+            and cfg.spp < HIGH_SPP_MIN):
         return False      # small sphere scenes at low spp use
         # kernels/megakernel.py; at spp >= 64 the multi-round tail
         # compaction wins even for tiny sphere counts (README 250spp/d50
@@ -1012,6 +1020,10 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
     pix_offset must be a whole-row offset (a multiple of width) — the
     sharded entry point passes row-block offsets.  return_ok adds the
     compaction-capacity soundness flag to the return value.
+    count_fires (instrumentation; used by benchmarks/profile sweeps)
+    OVERRIDES return_ok and always returns the 3-tuple
+    ``(img, ok, fire_rounds)`` where fire_rounds is a list of per-round
+    ``(tiles, 6)`` int32 counter dumps (fired-chunk / iteration tallies).
     """
     (has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type,
      sph_spec, sph_plan) = flags
@@ -1050,7 +1062,7 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
         if schedule is not None:
             sched = schedule
         elif (n_chunks > 0 or scene.spheres.count >= SPHERE_CHUNK_MIN
-              or spp_c >= 64):
+              or spp_c >= HIGH_SPP_MIN):
             sched = _round_schedule(spp_c, cfg.max_depth)
         else:
             sched = ((bound, 1),)
@@ -1233,3 +1245,41 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
 _render_mesh_jit = functools.partial(jax.jit, static_argnames=(
     "cfg", "interpret", "flags", "plan", "rows", "schedule",
     "return_ok", "count_fires"))(render_pallas_mesh_inner)
+
+
+def render_pallas_mesh_safe(scene: Scene, cfg: RenderConfig, seed,
+                            interpret, flags, plan, rows, pix_offset,
+                            schedule=None):
+    """Trace-safe render with a TRACE-SAFE capacity fallback.
+
+    The eager wrapper (:func:`render_pallas_mesh`) re-renders when the
+    compaction ok-flag trips, but that requires a concrete flag; under an
+    outer jit / shard_map (``parallel/sharded.py``) the flag is a tracer
+    and the fallback used to be unreachable — a ladder trip inside a
+    jitted training loop would silently drop live paths.  Here the
+    fallback is a ``lax.cond`` branch: the ladder runs unconditionally,
+    and only when its ok-flag is False does the cond execute a single
+    uncapped full-grid round (always sound — capacity is the whole padded
+    grid, so nothing can overflow).  Costs one extra dispatch-variant
+    compile; runtime cost only on an actual trip.
+    """
+    img, ok = render_pallas_mesh_inner(
+        scene, cfg, seed, interpret, flags, plan, rows, pix_offset,
+        schedule=schedule, return_ok=True)
+    sched = schedule
+    if sched is None:
+        # mirror the dispatch-loop default (see render_pallas_mesh_inner)
+        spp_c = min(HDR_SPP_CHUNK, cfg.spp) \
+            if scene.sky.kind == KIND_HDR else cfg.spp
+        sched = _round_schedule(spp_c, cfg.max_depth)
+    if len(sched) == 1 and sched[0][1] == 1:
+        return img          # already a single full-capacity round: sound
+
+    def _fallback(_):
+        img2, _ok2 = render_pallas_mesh_inner(
+            scene, cfg, seed, interpret, flags, plan, rows, pix_offset,
+            schedule=((cfg.spp * cfg.max_depth + 1, 1),), return_ok=True)
+        return img2
+
+    return jax.lax.cond(jnp.reshape(ok, ()), lambda _: img, _fallback,
+                        operand=None)

@@ -208,9 +208,85 @@ def test_compaction_overflow_falls_back():
     np.testing.assert_allclose(via_public, single, atol=1e-6)
 
 
+def test_compaction_overflow_fallback_under_jit():
+    """The lax.cond fallback (render_pallas_mesh_safe) must repair a
+    capacity overflow even when the whole render is inside an outer jit
+    (where the ok flag is a tracer and the eager re-render is
+    unreachable) — the silent-path-drop scenario from round 3."""
+    import jax
+    import jax.numpy as jnp
+    import opencl_ray_tracer_tpu.kernels.megamesh as mm
+    from opencl_ray_tracer_tpu.tracer.clusters import plan_for_scene
+    scene = _mesh_scene()
+    cfg = ort.RenderConfig(width=128, height=80, spp=2, max_depth=10)
+    bad = ((1, 1), (999, 2))      # overflows (see the eager test above)
+    plan = plan_for_scene(scene, mm.MESH_CHUNK)
+    flags = mm.specialize_mesh_flags(scene)
+
+    @jax.jit
+    def jitted(s, seed):
+        return mm.render_pallas_mesh_safe(
+            s, cfg, seed, True, flags, plan, cfg.height, jnp.int32(0),
+            schedule=bad)
+
+    img = np.asarray(jitted(scene, jnp.int32(1)))
+    single = np.asarray(render_pallas_mesh(scene, cfg, seed=1,
+                                           interpret=True,
+                                           schedule=_uncapped(cfg)))
+    np.testing.assert_allclose(img, single, atol=1e-6)
+    # and on a non-overflowing schedule the cond must keep the ladder path
+    good = np.asarray(jax.jit(lambda s: mm.render_pallas_mesh_safe(
+        s, cfg, jnp.int32(1), True, flags, plan, cfg.height,
+        jnp.int32(0)))(scene))
+    np.testing.assert_allclose(good, single, atol=1e-6)
+
+
+def test_count_fires_instrumentation_smoke():
+    """count_fires=True returns (img, ok, fire_rounds) regardless of
+    return_ok, with per-round (tiles, 6) int32 counter dumps whose
+    iteration tallies are positive, and must not perturb the image."""
+    import jax.numpy as jnp
+    import opencl_ray_tracer_tpu.kernels.megamesh as mm
+    from opencl_ray_tracer_tpu.tracer.clusters import plan_for_scene
+    scene = _mesh_scene()
+    cfg = ort.RenderConfig(width=48, height=32, spp=2, max_depth=6)
+    plan = plan_for_scene(scene, mm.MESH_CHUNK)
+    flags = mm.specialize_mesh_flags(scene)
+    img, ok, fires = mm.render_pallas_mesh_inner(
+        scene, cfg, jnp.int32(0), True, flags, plan, cfg.height,
+        jnp.int32(0), return_ok=False, count_fires=True)
+    assert bool(ok)
+    assert isinstance(fires, list) and len(fires) >= 1
+    for fr in fires:
+        fr = np.asarray(fr)
+        assert fr.ndim == 2 and fr.shape[1] == 6
+        assert np.all(fr == np.round(fr))       # integral f32 counters
+    # total iterations across round 0's tiles must be positive
+    assert int(np.asarray(fires[0])[:, 0].sum()) > 0
+    plain = np.asarray(render_pallas_mesh(scene, cfg, seed=0,
+                                          interpret=True))
+    np.testing.assert_allclose(np.asarray(img), plain, atol=1e-6)
+
+
 def test_small_sphere_high_spp_ladder():
     """README scene (5 spheres) at spp >= 64: routes through this kernel's
-    high-spp multi-round compaction ladder and must match the jnp tracer
-    (the megakernel covered this scene before; the ladder is faster)."""
+    high-spp multi-round compaction ladder.
+
+    Tolerance model: at spp=64 the per-pixel mean accumulates 64 samples'
+    ~1-ulp reassociation drifts, so the per-pixel flip fraction vs the jnp
+    tracer scales ~linearly with spp and the default frac=0.5% (calibrated
+    for spp=2-3) no longer applies. The true invariant (measured in round
+    3's post-mortem) is that the ladder is *bitwise* equal to the untouched
+    sphere megakernel on this config — assert that, plus mean radiance vs
+    the jnp tracer within one sample quantum."""
+    from opencl_ray_tracer_tpu.kernels.megakernel import render_pallas
     cfg = ort.RenderConfig(width=32, height=16, spp=64, max_depth=6)
-    _compare(ort.readme_scene(), cfg)
+    scene = ort.readme_scene()
+    assert supports_mesh(scene, cfg)
+    img_m = np.asarray(render_pallas_mesh(scene, cfg, seed=0,
+                                          interpret=True))
+    img_k = np.asarray(render_pallas(scene, cfg, seed=0, interpret=True))
+    np.testing.assert_allclose(img_m, img_k, atol=1e-6)
+    img_j = np.asarray(ort.render(scene, cfg, seed=0))
+    assert abs(img_m.mean() - img_j.mean()) < 1.0 / cfg.spp
+    assert not np.isnan(img_m).any()
