@@ -139,10 +139,16 @@ CAM_SLOTS = (C_OX, C_OY, C_OZ, C_HX, C_HY, C_HZ, C_VX, C_VY, C_VZ,
  S_S, S_K) = range(20)
 N_ST = 20
 
-# Mesh-variant extra record rows: raw geometric winner normal + hit t
-# (the winner code itself lives in the base ring's R_WIN row).
-N_REC_MESH = N_REC + 4
-(R_NX, R_NY, R_NZ, R_T) = range(N_REC, N_REC_MESH)
+# Mesh-variant extra record rows: raw geometric winner normal + hit t +
+# winner triangle id in PLAN (chunk-permuted) order, -1 for non-triangle
+# records (the winner code itself lives in the base ring's R_WIN row).
+# The id keys the reverse sweep's per-triangle plane-cotangent
+# accumulation (vertex gradients; see _make_grad_kernel docstring).
+N_REC_MESH = N_REC + 5
+(R_NX, R_NY, R_NZ, R_T, R_TID) = range(N_REC, N_REC_MESH)
+# tri_sc scratch planes: 0 best-t, 1:4 winner raw normal, 4:7 o x d cross
+# rows, 7 chunk gate, 8 winner triangle id (plan order, f32 exact int)
+N_TRI_SC = 9
 # Mesh-variant tile height: the ring grows by 5 rows and the MXU weight
 # table (~4 MB for the F1 car) must stay resident, so the tile halves
 # again vs the sphere kernel.  2-D image tiles (tile_rows x LANES pixels)
@@ -169,9 +175,13 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
     ring stores the winner (code, raw normal, t); the reverse sweep
     recovers a differentiable triangle hit from the stored plane —
     t(o, d) = t_rec + plane(o, d) - sg(plane(o, d)) — so ray/camera/sphere
-    cotangents flow through mesh bounces while triangle geometry itself is
-    held fixed (interior vertex gradients stay on the jnp path,
-    tracer/soft.py for silhouettes).  Mesh material is uniform
+    cotangents flow through mesh bounces.  Triangle VERTEX gradients: the
+    winner's raw normal n and plane constant c = n . v0 are vjp LEAVES of
+    the reverse bounce; their per-lane cotangents are accumulated per
+    recorded winner id into a (4, T_pad) table by chunk-gated one-hot
+    matmuls (scatter-free), then chained through n = (p1-p0) x (p2-p0),
+    c = n . p0 outside the kernel (_tri_vertex_cots) — analytically the
+    Moller-Trumbore interior derivative.  Mesh material is uniform
     (reference semantics) and read from the extended camera table's
     C_MA_* slots as non-differentiated constants."""
     fi = {f: p for p, f in enumerate(DIFF_FIELDS)}
@@ -418,14 +428,18 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         inv_len = jax.lax.rsqrt(a)
         mesh_over = None
         if mesh_rec is not None:
-            rnx, rny, rnz, t_rec = mesh_rec
+            # 5-tuple: (raw normal, recorded t, plane constant).  c_pl may
+            # be a DIFFERENTIABLE leaf (vertex gradients: c = n . v0, the
+            # caller reconstructs its primal from the record and takes its
+            # cotangent); None reproduces the fixed-geometry behaviour.
+            rnx, rny, rnz, t_rec, c_in = mesh_rec
             is_tri = win_code == jnp.float32(n_spheres)
             hit_sph = (win_code >= 0.0) & ~is_tri
             best_i = win_code.astype(jnp.int32)
             nd = _dot3(rnx, rny, rnz, dx, dy, dz)
             nd_s = jnp.where(is_tri, nd, 1.0)
             n_o = _dot3(rnx, rny, rnz, ox, oy, oz)
-            c_pl = sg(n_o + t_rec * nd_s)
+            c_pl = sg(n_o + t_rec * nd_s) if c_in is None else c_in
             t_plane = (c_pl - n_o) / nd_s
             t_tri = t_rec + (t_plane - sg(t_plane))
             (m_alr, m_alg, m_alb, m_fuzz, m_ior, m_invior,
@@ -495,11 +509,11 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             elif hdr_mode == "consume":
                 (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
                  sky_ref, gr_ref, gg_ref, gb_ref, gcam_ref, gsph_ref,
-                 st, rec, gacc, tri_sc) = refs
+                 gtri_ref, st, rec, gacc, tri_sc) = refs
             else:
                 (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
                  gr_ref, gg_ref, gb_ref, gcam_ref, gsph_ref,
-                 st, rec, gacc, tri_sc) = refs
+                 gtri_ref, st, rec, gacc, tri_sc) = refs
             # 2-D image tiles (tile_rows x LANES PIXELS): spatially compact
             # tiles are what make the cluster gates fire (megamesh lesson)
             ti = pl.program_id(0)
@@ -557,6 +571,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             def _init_out():
                 gcam_ref[...] = jnp.zeros_like(gcam_ref)
                 gsph_ref[...] = jnp.zeros_like(gsph_ref)
+                if mesh is not None:
+                    gtri_ref[...] = jnp.zeros_like(gtri_ref)
 
             # per-tile accumulators: DIFF_FIELDS sphere rows + 1 cam row
             n_rows_acc = len(DIFF_FIELDS) + 1
@@ -647,6 +663,7 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 tri_sc[1] = zero
                 tri_sc[2] = zero
                 tri_sc[3] = zero + 1.0      # safe nonzero normal
+                tri_sc[8] = zero - 1.0      # winner triangle id (plan ord)
                 if n_chunks == 0:
                     return
                 tri_sc[4] = oy * dz - oz * dy
@@ -765,6 +782,12 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                         ra_w = ra_w * (2.0 - aa_w * ra_w)
                                         ct = jnp.where(ct_a < BIG,
                                                        ts_w * ra_w, BIG)
+                                        id_w = jnp.sum(
+                                            (jax.lax.broadcasted_iota(
+                                                jnp.float32,
+                                                (chunk, LANES), 0)
+                                             + jnp.float32(ci_ * chunk))
+                                            * oh, axis=0, keepdims=True)
                                         upd = ct < old
                                         tri_sc[0, r1, :] = jnp.where(
                                             upd, ct, old)
@@ -777,6 +800,9 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                         tri_sc[3, r1, :] = jnp.where(
                                             upd, nrm[2:3, :],
                                             tri_sc[3, r1, :])
+                                        tri_sc[8, r1, :] = jnp.where(
+                                            upd, id_w,
+                                            tri_sc[8, r1, :])
                                 return 0
 
                             jax.lax.fori_loop(0, tile_rows, row, 0)
@@ -862,6 +888,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                         rec[R_NY, rows, :] = tri_sc[2]
                         rec[R_NZ, rows, :] = tri_sc[3]
                         rec[R_T, rows, :] = jnp.where(tri_win, tri_t, 0.0)
+                        rec[R_TID, rows, :] = jnp.where(tri_win,
+                                                        tri_sc[8], -1.0)
                     else:
                         # record the miss direction of the CURRENT sample
                         # (a path misses at most once — its terminal
@@ -945,12 +973,25 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 term_allowed = k_safe + 1.0 < jnp.float32(max_depth)
                 win_rec = rec[R_WIN, rows, :]
                 if mesh is not None:
-                    mesh_rec = (rec[R_NX, rows, :], rec[R_NY, rows, :],
-                                rec[R_NZ, rows, :], rec[R_T, rows, :])
+                    rnx_r = rec[R_NX, rows, :]
+                    rny_r = rec[R_NY, rows, :]
+                    rnz_r = rec[R_NZ, rows, :]
+                    t_rec_r = rec[R_T, rows, :]
+                    tid_rec = rec[R_TID, rows, :]
                     mesh_mat = (m_alr, m_alg, m_alb, m_fuzz, m_ior,
                                 m_invior, jnp.float32(mesh_mtype))
+                    # plane constant c = n . v0, reconstructed from the
+                    # record (n.(o + t d) = n.hitpoint lies on the plane);
+                    # it becomes a vjp LEAF below so d(loss)/dc comes back
+                    # per lane.  Same expression as winner_bounce's
+                    # fixed-geometry sg() reconstruction — primal exact.
+                    is_tri_wc = win_rec == jnp.float32(n_spheres)
+                    nd_rec = _dot3(rnx_r, rny_r, rnz_r, dx, dy, dz)
+                    c_rec = (_dot3(rnx_r, rny_r, rnz_r, ox, oy, oz)
+                             + t_rec_r * jnp.where(is_tri_wc, nd_rec,
+                                                   1.0))
                 else:
-                    mesh_rec = mesh_mat = None
+                    mesh_mat = None
                 if hdr_mode == "consume":
                     # the record's sample selects its (constant) sky value
                     sk0r = zero
@@ -965,18 +1006,37 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 else:
                     hdr_sky_rec = None
 
-                def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz, tr, tg, tb):
-                    out = winner_bounce(cam_t, sph_t, mtypes, ox, oy, oz,
-                                        dx, dy, dz, tr, tg, tb, alive,
-                                        term_allowed, a0, a1, a2, a3,
-                                        b0, b1, win_code=win_rec,
-                                        mesh_rec=mesh_rec,
-                                        mesh_mat=mesh_mat,
-                                        hdr_sky=hdr_sky_rec)
-                    return out[:12]          # drop the bool cont
+                if mesh is not None:
+                    # the raw normal and plane constant are vjp leaves:
+                    # their per-lane cotangents key the per-triangle
+                    # plane-cotangent accumulation (vertex gradients)
+                    def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz,
+                          tr, tg, tb, rnx, rny, rnz, cpl):
+                        out = winner_bounce(
+                            cam_t, sph_t, mtypes, ox, oy, oz,
+                            dx, dy, dz, tr, tg, tb, alive,
+                            term_allowed, a0, a1, a2, a3, b0, b1,
+                            win_code=win_rec,
+                            mesh_rec=(rnx, rny, rnz, t_rec_r, cpl),
+                            mesh_mat=mesh_mat, hdr_sky=hdr_sky_rec)
+                        return out[:12]      # drop the bool cont
 
-                _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
-                                    dx, dy, dz, tr, tg, tb)
+                    _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
+                                        dx, dy, dz, tr, tg, tb,
+                                        rnx_r, rny_r, rnz_r, c_rec)
+                else:
+                    def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz,
+                          tr, tg, tb):
+                        out = winner_bounce(
+                            cam_t, sph_t, mtypes, ox, oy, oz,
+                            dx, dy, dz, tr, tg, tb, alive,
+                            term_allowed, a0, a1, a2, a3, b0, b1,
+                            win_code=win_rec, mesh_rec=None,
+                            mesh_mat=None, hdr_sky=hdr_sky_rec)
+                        return out[:12]      # drop the bool cont
+
+                    _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
+                                        dx, dy, dz, tr, tg, tb)
                 # Terminal records self-seed from (g_r, g_g, g_b) through
                 # the where(term, ...) transpose; mid-path records route
                 # the state adjoint; invalid records pass it through.
@@ -984,8 +1044,66 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                         st[A_DX], st[A_DY], st[A_DZ],
                         st[A_TR], st[A_TG], st[A_TB],
                         g_r, g_g, g_b)
-                (gc_s, gs_s, aox, aoy, aoz, adx, ady, adz,
-                 atr, atg, atb) = vjp_fn(cots)
+                if mesh is not None:
+                    (gc_s, gs_s, aox, aoy, aoz, adx, ady, adz,
+                     atr, atg, atb, g_nx, g_ny, g_nz, g_cc) = vjp_fn(cots)
+                else:
+                    (gc_s, gs_s, aox, aoy, aoz, adx, ady, adz,
+                     atr, atg, atb) = vjp_fn(cots)
+
+                if mesh is not None and n_chunks > 0:
+                    # ---- per-triangle plane-cotangent accumulation ----
+                    # (d_n, d_c) per record -> gtri_ref[(4, T_pad)] rows
+                    # keyed by the recorded winner id.  Scatter-free: a
+                    # per-row one-hot (chunk, LANES) matmul transposes the
+                    # gather; chunk blocks are gated by the slot's
+                    # min/max id so sphere-dominated slots cost O(1).
+                    tri_m = is_tri_wc & alive
+                    tid_lo = jnp.min(jnp.where(tri_m, tid_rec, BIG))
+                    tid_hi = jnp.max(jnp.where(tri_m, tid_rec, -1.0))
+
+                    @pl.when(tid_hi >= 0.0)
+                    def _acc_tri():
+                        for ci_ in range(n_chunks):
+                            base = jnp.float32(ci_ * chunk)
+                            top = jnp.float32((ci_ + 1) * chunk)
+
+                            @pl.when((tid_lo < top) & (tid_hi >= base))
+                            def _chunk_acc(ci_=ci_, base=base):
+                                in_c = (tri_m & (tid_rec >= base)
+                                        & (tid_rec < base + chunk))
+                                rel = tid_rec - base
+
+                                def rrow(r, _):
+                                    sl = lambda v: \
+                                        jax.lax.dynamic_slice_in_dim(
+                                            v, r, 1, 0)
+                                    m_r = sl(in_c)
+                                    row_any = jnp.max(
+                                        m_r.astype(jnp.int32))
+
+                                    @pl.when(row_any > 0)
+                                    def _row():
+                                        oh = ((jax.lax.broadcasted_iota(
+                                            jnp.float32,
+                                            (chunk, LANES), 0)
+                                            == sl(rel)) & m_r
+                                        ).astype(jnp.float32)
+                                        arow = jnp.concatenate(
+                                            [sl(g_nx), sl(g_ny),
+                                             sl(g_nz), sl(g_cc)], axis=0)
+                                        blk = jax.lax.dot_general(
+                                            arow, oh,
+                                            (((1,), (1,)), ((), ())),
+                                            preferred_element_type=(
+                                                jnp.float32))
+                                        cs = slice(ci_ * chunk,
+                                                   (ci_ + 1) * chunk)
+                                        gtri_ref[:, cs] = (
+                                            gtri_ref[:, cs] + blk)
+                                    return 0
+
+                                jax.lax.fori_loop(0, tile_rows, rrow, 0)
 
                 # depth-0 records: chain the camera VJP for this sample's
                 # draws, then reset the lane adjoint — the record below
@@ -1181,10 +1299,12 @@ def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
 
     row0 = (jnp.int32(0) if row_base is None
             else jnp.asarray(row_base, jnp.int32))
-    gcam, gsph = pl.pallas_call(
+    t_pad = max(1, mesh[0]) * mesh[1]
+    gcam, gsph, gtri = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32)],
+                   jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((4, t_pad), jnp.float32)],
         grid=(n_tr, n_tc),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i, j: (0, 0),
@@ -1204,19 +1324,21 @@ def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, t_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
             pltpu.VMEM((N_REC_MESH, n_slots * tile_rows, LANES),
                        jnp.float32),
             pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
-            pltpu.VMEM((8, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((N_TRI_SC, tile_rows, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.stack([row0, jnp.int32(seed), jnp.int32(sample_base),
                  row0 + jnp.int32(block_rows)]).reshape(1, 4),
       cam_tab, sph_tab, w_flat, aabb, boxes, g[0], g[1], g[2])
-    return gcam, gsph
+    return gcam, gsph, gtri
 
 
 # HDR backward runs over sample windows (two passes per window: emit miss
@@ -1291,7 +1413,7 @@ def _grad_tables_hdr_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
         out_specs=sky_spec,
         scratch_shapes=[
             pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
-            pltpu.VMEM((8, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((N_TRI_SC, tile_rows, LANES), jnp.float32),
             pltpu.VMEM((3 * n_samples, tile_rows, LANES), jnp.float32),
         ],
         interpret=interpret,
@@ -1306,10 +1428,12 @@ def _grad_tables_hdr_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
     # ---- pass 2: fill + reverse with the sky rows resident ----
     g = jnp.pad(g_img, ((0, hp - block_rows), (0, wp - w), (0, 0)))
     g = g.transpose(2, 0, 1)
-    gcam, gsph = pl.pallas_call(
+    t_pad = max(1, mesh[0]) * mesh[1]
+    gcam, gsph, gtri = pl.pallas_call(
         mk("consume"),
         out_shape=[jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32)],
+                   jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((4, t_pad), jnp.float32)],
         grid=(n_tr, n_tc),
         in_specs=base_specs + [sky_spec, rows_spec, rows_spec, rows_spec],
         out_specs=[
@@ -1317,18 +1441,20 @@ def _grad_tables_hdr_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, t_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
             pltpu.VMEM((N_REC_MESH, n_slots * tile_rows, LANES),
                        jnp.float32),
             pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
-            pltpu.VMEM((8, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((N_TRI_SC, tile_rows, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(off, cam_tab, sph_tab, w_flat, aabb, boxes, sky_rows,
       g[0], g[1], g[2])
-    return gcam, gsph
+    return gcam, gsph, gtri
 
 
 def supports_grad_hdr(scene: Scene, cfg: RenderConfig) -> bool:
@@ -1336,7 +1462,8 @@ def supports_grad_hdr(scene: Scene, cfg: RenderConfig) -> bool:
     conditions (tone-mapped sky < 1 and albedos <= 1 so the per-sample
     clamp is a no-op for sky contributions; uniform mesh material behind
     a box when triangles exist) up to GRAD_MAX_SPHERES spheres.  The sky
-    IMAGE and triangle geometry are held fixed (zero cotangents)."""
+    IMAGE and triangle material fields are held fixed (zero cotangents);
+    triangle VERTEX cotangents are real (see supports_grad_mesh)."""
     from .megamesh import supports_mesh
     return (scene.sky.kind == KIND_HDR
             and scene.spheres.count <= GRAD_MAX_SPHERES
@@ -1347,10 +1474,12 @@ def supports_grad_mesh(scene: Scene, cfg: RenderConfig) -> bool:
     """Mesh scenes the backward kernel covers: triangles with one uniform
     material behind >= 1 gating box (reference semantics,
     gpu_kernel.cl:374-391), gradient/constant sky, <= GRAD_MAX_SPHERES
-    spheres.  Triangle GEOMETRY is held fixed: the Scene cotangent's
-    triangle leaves come back zero (interior vertex gradients live on the
-    jnp VJP, silhouette gradients in tracer/soft.py) — callers that fit
-    triangle parameters must use the jnp path."""
+    spheres.  Triangle VERTEX cotangents (p0/p1/p2) are real: interior
+    derivatives accumulated per triangle via the plane-cotangent ring
+    (_tri_vertex_cots); silhouette gradients stay in tracer/soft.py.
+    Triangle MATERIAL fields (albedo/fuzz/ior per triangle) are held
+    fixed (uniform material is a static constant in-kernel) — callers
+    fitting those must use the jnp path."""
     from .megamesh import _mesh_uniform_material
     return (scene.triangles.count > 0
             and scene.boxes.count >= 1
@@ -1370,9 +1499,10 @@ def render_grad_scene(scene: Scene, cfg: RenderConfig, g_img, seed,
     they are derived out here.
 
     Mesh scenes (supports_grad_mesh) run the mesh variant: sphere /
-    camera / const-sky cotangents flow through triangle bounces; the
-    triangle leaves of the returned cotangent are zero (geometry held
-    fixed — see supports_grad_mesh).
+    camera / const-sky cotangents flow through triangle bounces, and the
+    triangle p0/p1/p2 leaves carry real interior vertex gradients
+    (plane-cotangent accumulation; triangle material fields stay zero —
+    see supports_grad_mesh).
     """
     if scene.sky.kind == KIND_HDR:
         from ..tracer.clusters import plan_for_scene
@@ -1414,6 +1544,51 @@ def _grad_scene_jit(scene, cfg, g_img, seed, flags, interpret):
     return s_bar
 
 
+def _tri_vertex_cots(scene, plan, gtri):
+    """Chain per-triangle plane cotangents to vertex cotangents.
+
+    gtri: (4, T_pad) accumulated (d_nx, d_ny, d_nz, d_c) in PLAN order.
+    The kernel's triangle leaves are exactly the stored plane quantities
+    (mesh_accel._features_from): n = (p1-p0) x (p2-p0) and c = n . p0
+    (the weight table's t columns are [n, -c]); one vjp through that
+    builder and an un-permute gives (dp0, dp1, dp2) in scene order.
+    This is analytically the Moller-Trumbore interior derivative: t =
+    (c - n.o)/(n.d) is the same function of the vertices as MT's
+    t = e2.qvec/det.
+    """
+    from ..tracer.clusters import permute
+    p0 = permute(scene.triangles.p0, plan)
+    p1 = permute(scene.triangles.p1, plan)
+    p2 = permute(scene.triangles.p2, plan)
+
+    def plane(q0, q1, q2):
+        n = jnp.cross(q1 - q0, q2 - q0)
+        return n, jnp.sum(n * q0, axis=-1)
+
+    _, pvjp = jax.vjp(plane, p0, p1, p2)
+    dp0, dp1, dp2 = pvjp((gtri[0:3].T, gtri[3]))
+    perm = plan.perm                       # numpy (T_pad,), -1 padding
+    idx = perm[perm >= 0]                  # static fancy index
+
+    def unperm(dp, ref):
+        return jnp.zeros_like(ref).at[idx].add(dp[perm >= 0])
+
+    tris = scene.triangles
+    return (unperm(dp0, tris.p0), unperm(dp1, tris.p1),
+            unperm(dp2, tris.p2))
+
+
+def _add_tri_cots(s_bar, scene, plan, gtri):
+    """Add vertex cotangents into the Scene cotangent pytree."""
+    import dataclasses
+    dp0, dp1, dp2 = _tri_vertex_cots(scene, plan, gtri)
+    tri_bar = s_bar.triangles
+    tri_bar = dataclasses.replace(tri_bar, p0=tri_bar.p0 + dp0,
+                                  p1=tri_bar.p1 + dp1,
+                                  p2=tri_bar.p2 + dp2)
+    return dataclasses.replace(s_bar, triangles=tri_bar)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "flags", "m_type",
                                              "plan", "interpret"))
 def _grad_scene_hdr_jit(scene, cfg, g_img, seed, flags, m_type, plan,
@@ -1430,17 +1605,21 @@ def _grad_scene_hdr_jit(scene, cfg, g_img, seed, flags, m_type, plan,
     g_scaled = g_img / jnp.float32(cfg.spp)
     gcam = jnp.zeros((1, LANES), jnp.float32)
     gsph = jnp.zeros((N_FIELDS, LANES), jnp.float32)
+    gtri = jnp.zeros((4, max(1, n_chunks) * chunk), jnp.float32)
     # sample windows bound the per-tile dirs/sky VMEM rows; window sums
     # are exact (the estimator is sample-linear under the "zero" policy)
     for s_base in range(0, cfg.spp, GRAD_HDR_SPP_CHUNK):
         spp_c = min(GRAD_HDR_SPP_CHUNK, cfg.spp - s_base)
-        gc, gs = _grad_tables_hdr_window(
+        gc, gs, gt = _grad_tables_hdr_window(
             cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
             scene.spheres.count, scene.sky, cfg, g_scaled, seed,
             jnp.int32(s_base), spp_c, flags, interpret)
         gcam = gcam + gc
         gsph = gsph + gs
+        gtri = gtri + gt
     (s_bar,) = build_vjp((gcam, gsph))
+    if scene.triangles.count > 0 and n_chunks > 0:
+        s_bar = _add_tri_cots(s_bar, scene, plan, gtri)
     return s_bar
 
 
@@ -1454,18 +1633,22 @@ def _grad_scene_mesh_jit(scene, cfg, g_img, seed, flags, m_type, plan,
         return _mesh_camera_table(s), _sphere_table(s)
 
     (cam_tab, sph_tab), build_vjp = jax.vjp(build, scene)
-    # triangle tables are built OUTSIDE the vjp: their dependence on the
-    # scene is deliberately dropped (geometry held fixed).  The C_MA_*
-    # slots of the mesh camera table are never accumulated by the kernel,
-    # so build_vjp returns exactly-zero cotangents for the triangle
-    # material leaves too.
+    # triangle tables are built OUTSIDE the vjp: the kernel instead
+    # accumulates per-triangle PLANE cotangents (gtri) which are chained
+    # through the plane builder below — the exact vertex gradients of the
+    # interior-derivative convention.  The C_MA_* slots of the mesh
+    # camera table are never accumulated by the kernel, so build_vjp
+    # returns exactly-zero cotangents for the triangle material leaves
+    # (uniform mesh material held fixed, reference semantics).
     w_flat, aabb, boxes, n_chunks, chunk, bids = _mesh_tables(
         jax.lax.stop_gradient(scene), plan)
-    gcam, gsph = _grad_tables_mesh_inner(
+    gcam, gsph, gtri = _grad_tables_mesh_inner(
         cam_tab, sph_tab, w_flat, aabb, boxes,
         (n_chunks, chunk, bids, max(1, scene.boxes.count), m_type),
         scene.spheres.count, scene.sky.kind, cfg,
         g_img / jnp.float32(cfg.spp), seed, jnp.int32(0), cfg.spp,
         flags, interpret)
     (s_bar,) = build_vjp((gcam, gsph))
+    if scene.triangles.count > 0 and n_chunks > 0:
+        s_bar = _add_tri_cots(s_bar, scene, plan, gtri)
     return s_bar

@@ -107,18 +107,24 @@ def fit_scene(
         from .kernels.megagrad import (supports_grad, supports_grad_hdr,
                                        supports_grad_mesh)
         from .scene.sky import KIND_HDR
-        # the mesh/HDR grad kernels hold triangle geometry and the sky
-        # image fixed, so they are only eligible when those parameters
-        # are not being fitted
-        fits_tris = any(p.startswith("triangles.") for p in param_paths)
+        # triangle VERTEX gradients are real in the mesh/HDR grad kernels
+        # (plane-cotangent accumulation; megagrad._tri_vertex_cots), so
+        # fitting triangles.p0/p1/p2 is in scope.  Triangle MATERIAL
+        # fields and the HDR sky image are still held fixed — those
+        # parameters keep the jnp path.
+        fits_tri_mat = any(
+            p.startswith("triangles.")
+            and not p.startswith(("triangles.p0", "triangles.p1",
+                                  "triangles.p2"))
+            for p in param_paths)
         fits_sky = any(p.startswith("sky.") for p in param_paths)
         if init_scene.sky.kind == KIND_HDR:
             in_scope = (supports_grad_hdr(init_scene, dcfg)
-                        and not fits_tris and not fits_sky)
+                        and not fits_tri_mat and not fits_sky)
             fit_kind = "hdr"
         elif init_scene.triangles.count > 0:
             in_scope = (supports_grad_mesh(init_scene, dcfg)
-                        and not fits_tris)
+                        and not fits_tri_mat)
             fit_kind = "mesh"
         else:
             in_scope = supports_grad(init_scene, dcfg)

@@ -90,12 +90,16 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0,
                     scene, cfg, seed, pallas_interpret, pallas_flags,
                     rows_per, ti * (rows_per * cfg.width)), ok
             if pallas_kind == "mesh":
-                from ..kernels.megamesh import render_pallas_mesh_inner
-                img, mok = render_pallas_mesh_inner(
+                # trace-safe capacity fallback: a compaction overflow
+                # re-renders this shard in one uncapped round via
+                # lax.cond, sound even under an outer jit (the ok flag
+                # returned here is then informational only).
+                from ..kernels.megamesh import render_pallas_mesh_safe
+                img = render_pallas_mesh_safe(
                     scene, cfg, seed, pallas_interpret, pallas_flags,
                     mesh_plan, rows_per, ti * (rows_per * cfg.width),
-                    schedule=mesh_schedule, return_ok=True)
-                return img, mok.reshape(1)
+                    schedule=mesh_schedule)
+                return img, ok
             hit_fn = hit_fn_factory(scene) if hit_fn_factory else None
             img = render_rows(scene, cfg, ti * rows_per, rows_per,
                               jnp.uint32(seed), sample_offset=si * spp_per,
@@ -105,15 +109,7 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0,
             return jax.lax.pmean(img, SAMPLE_AXIS), ok
         return _render
 
-    img, oks = _make_render(None)(scene)
-    if (pallas_kind == "mesh" and not isinstance(oks, jax.core.Tracer)
-            and not bool(jnp.all(oks))):
-        # a compaction round overflowed its capacity (see megamesh
-        # _round_schedule): re-render each shard in one uncapped round.
-        # (Under an outer jit the flag is a tracer and the fallback is
-        # unavailable — capacities carry ~2x margins; callers who need the
-        # guarantee call eagerly, as render() does.)
-        img, _ = _make_render(((cfg.spp * cfg.max_depth + 1, 1),))(scene)
+    img, _oks = _make_render(None)(scene)
     return img
 
 
@@ -191,36 +187,43 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
             shard_map, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(),
                       P(TILE_AXIS, None, None)),
-            out_specs=(P(), P()), check_vma=False)
+            out_specs=(P(), P(), P()), check_vma=False)
         def _grad(cam_t, sph_t, w_t, aabb_t, box_t, sky_img, g):
             ti = jax.lax.axis_index(TILE_AXIS)
             if is_hdr:
                 sky_obj = Sky.hdr(sky_img)
                 gcam = jnp.zeros((1, 128), jnp.float32)
                 gsph = jnp.zeros_like(sph_t)
+                gtri = jnp.zeros((4, max(1, n_chunks) * chunk),
+                                 jnp.float32)
                 for s_base in range(0, cfg.spp, GRAD_HDR_SPP_CHUNK):
                     spp_c = min(GRAD_HDR_SPP_CHUNK, cfg.spp - s_base)
-                    gc, gs = _grad_tables_hdr_window(
+                    gc, gs, gt = _grad_tables_hdr_window(
                         cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
                         n_spheres, sky_obj, cfg, g, jnp.int32(seed),
                         jnp.int32(s_base), spp_c, flags, pallas_interpret,
                         row_base=ti * rows_per, full_height=cfg.height)
                     gcam = gcam + gc
                     gsph = gsph + gs
+                    gtri = gtri + gt
             else:
-                gcam, gsph = _grad_tables_mesh_inner(
+                gcam, gsph, gtri = _grad_tables_mesh_inner(
                     cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
                     n_spheres, sky_kind, cfg, g, jnp.int32(seed),
                     jnp.int32(0), cfg.spp, flags, pallas_interpret,
                     row_base=ti * rows_per, full_height=cfg.height)
             gcam = jax.lax.psum(gcam, (TILE_AXIS, SAMPLE_AXIS))
             gsph = jax.lax.psum(gsph, (TILE_AXIS, SAMPLE_AXIS))
-            return gcam, gsph
+            gtri = jax.lax.psum(gtri, (TILE_AXIS, SAMPLE_AXIS))
+            return gcam, gsph, gtri
 
-        gcam, gsph = _grad(cam_tab, sph_tab, w_flat, aabb, boxes,
-                           jax.lax.stop_gradient(scene.sky.image),
-                           g_img / jnp.float32(cfg.spp))
+        gcam, gsph, gtri = _grad(cam_tab, sph_tab, w_flat, aabb, boxes,
+                                 jax.lax.stop_gradient(scene.sky.image),
+                                 g_img / jnp.float32(cfg.spp))
         (s_bar,) = build_vjp((gcam, gsph))
+        if has_tris and n_chunks > 0:
+            from ..kernels.megagrad import _add_tri_cots
+            s_bar = _add_tri_cots(s_bar, scene, plan, gtri)
         return loss, img, s_bar
 
     @functools.partial(
@@ -305,8 +308,9 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
     """Megakernel fwd + backward-megakernel bwd per tile shard; table
     cotangents psum over the mesh, chained through the differentiable
     table builders and insert_params once, replicated.  Templates with
-    triangles use the mesh kernels (triangle geometry held fixed — the
-    fitted params must not include triangle fields)."""
+    triangles use the mesh kernels: triangle VERTEX params (p0/p1/p2)
+    get real psum-reduced gradients; per-triangle MATERIAL fields are
+    held fixed (must not be fitted params)."""
     from ..kernels.megagrad import (GRAD_HDR_SPP_CHUNK, _grad_tables_inner,
                                     _grad_tables_hdr_window,
                                     _grad_tables_mesh_inner, supports_grad,
@@ -388,31 +392,34 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(),
                   P(TILE_AXIS, None, None), P()),
-        out_specs=(P(), P()), check_vma=False)
+        out_specs=(P(), P(), P()), check_vma=False)
     def _bwd_mesh(cam_t, sph_t, w_t, aabb_t, box_t, sky_img, g, sd):
         ti = jax.lax.axis_index(TILE_AXIS)
         if is_hdr:
             sky_obj = Sky.hdr(sky_img)
             gcam = jnp.zeros((1, 128), jnp.float32)
             gsph = jnp.zeros_like(sph_t)
+            gtri = jnp.zeros((4, max(1, n_chunks) * chunk), jnp.float32)
             for s_base in range(0, gcfg.spp, GRAD_HDR_SPP_CHUNK):
                 spp_c = min(GRAD_HDR_SPP_CHUNK, gcfg.spp - s_base)
-                gc, gs = _grad_tables_hdr_window(
+                gc, gs, gt = _grad_tables_hdr_window(
                     cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
                     n_spheres, sky_obj, gcfg, g, jnp.int32(sd),
                     jnp.int32(s_base), spp_c, flags, interp,
                     row_base=ti * rows_per, full_height=gcfg.height)
                 gcam = gcam + gc
                 gsph = gsph + gs
+                gtri = gtri + gt
         else:
-            gcam, gsph = _grad_tables_mesh_inner(
+            gcam, gsph, gtri = _grad_tables_mesh_inner(
                 cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
                 n_spheres, sky_kind, gcfg, g, jnp.int32(sd),
                 jnp.int32(0), gcfg.spp, flags, interp,
                 row_base=ti * rows_per, full_height=gcfg.height)
         gcam = jax.lax.psum(gcam, (TILE_AXIS, SAMPLE_AXIS))
         gsph = jax.lax.psum(gsph, (TILE_AXIS, SAMPLE_AXIS))
-        return gcam, gsph
+        gtri = jax.lax.psum(gtri, (TILE_AXIS, SAMPLE_AXIS))
+        return gcam, gsph, gtri
 
     if has_tris:
         w_flat0, aabb0, boxes0, n_chunks, chunk, bids = _mesh_tables(
@@ -431,14 +438,17 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
         if has_tris:
             w_flat, aabb, boxes, _, _, _ = _mesh_tables(
                 jax.lax.stop_gradient(scene), plan)
-            gcam, gsph = _bwd_mesh(cam_tab, sph_tab, w_flat, aabb, boxes,
-                                   jax.lax.stop_gradient(scene.sky.image),
-                                   g_img / jnp.float32(gcfg.spp),
-                                   step_seed)
+            gcam, gsph, gtri = _bwd_mesh(
+                cam_tab, sph_tab, w_flat, aabb, boxes,
+                jax.lax.stop_gradient(scene.sky.image),
+                g_img / jnp.float32(gcfg.spp), step_seed)
         else:
             gcam, gsph = _bwd(cam_tab, sph_tab,
                               g_img / jnp.float32(gcfg.spp), step_seed)
         (s_bar,) = build_vjp((gcam, gsph))
+        if has_tris and scene.triangles.count > 0 and n_chunks > 0:
+            from ..kernels.megagrad import _add_tri_cots
+            s_bar = _add_tri_cots(s_bar, scene, plan, gtri)
         _, ins_vjp = jax.vjp(insert_params, params)
         (p_bar,) = ins_vjp(s_bar)
         updates, opt_state = optimizer.update(p_bar, opt_state, params)

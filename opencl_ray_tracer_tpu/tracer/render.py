@@ -310,10 +310,12 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
             in_scope = supports_grad_mesh(scene, cfg)
         else:
             in_scope = supports_grad(scene, cfg)
-        # The mesh/HDR variants hold triangle geometry and the sky IMAGE
-        # fixed (zero cotangents — supports_grad_mesh/_hdr docstrings),
-        # so they only run on explicit grad_backend="pallas"; "auto"
-        # keeps the jnp VJP there, whose cotangent covers those leaves.
+        # The mesh/HDR variants carry real triangle VERTEX cotangents
+        # (plane-cotangent accumulation) but hold per-triangle MATERIAL
+        # fields and the sky IMAGE fixed (supports_grad_mesh/_hdr
+        # docstrings), so they only run on explicit
+        # grad_backend="pallas"; "auto" keeps the jnp VJP there, whose
+        # cotangent covers every leaf.
         use_pl_grad = in_scope and (
             grad_backend == "pallas" or (not has_tris and not is_hdr and (
                 on_tpu_g or cfg.backend == "pallas")))

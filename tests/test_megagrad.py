@@ -234,6 +234,16 @@ def _mesh_grad_pair(scene, cfg, seed):
     return g, gref
 
 
+def _assert_tri_close(g, gref, rtol):
+    for name in ("p0", "p1", "p2"):
+        a = np.asarray(getattr(g.triangles, name))
+        b = np.asarray(getattr(gref.triangles, name))
+        scale = max(float(np.abs(b).max()), 1e-9)
+        err = float(np.abs(a - b).max()) / scale
+        assert err < rtol, \
+            f"triangles.{name}: relerr {err:.3e} (scale {scale:.2e})"
+
+
 def test_mesh_scene_grads_match_jnp():
     from opencl_ray_tracer_tpu.kernels.megagrad import supports_grad_mesh
     scene = _mesh_scene()
@@ -242,9 +252,10 @@ def test_mesh_scene_grads_match_jnp():
     assert supports_grad_mesh(scene, cfg)
     g, gref = _mesh_grad_pair(scene, cfg, seed=0)
     _assert_close(g, gref, 5e-4)
-    # triangle geometry is held fixed: exactly-zero cotangents
-    assert float(np.abs(np.asarray(g.triangles.p0)).max()) == 0.0
-    assert float(np.abs(np.asarray(g.triangles.p1)).max()) == 0.0
+    # triangle VERTEX cotangents are real (plane-cotangent accumulation)
+    # and must match the jnp wavefront VJP's interior derivatives
+    assert float(np.abs(np.asarray(g.triangles.p0)).max()) > 0.0
+    _assert_tri_close(g, gref, 5e-4)
 
 
 def test_mesh_scene_metal_const_sky():
@@ -348,4 +359,26 @@ def test_hdr_mesh_scene_multi_window():
     b = np.asarray(gref.spheres.albedo)
     assert float(np.abs(b).max()) > 1e-3
     assert float(np.abs(a - b).max()) / float(np.abs(b).max()) < 1e-4
-    assert float(np.abs(np.asarray(g.triangles.p0)).max()) == 0.0
+    # vertex cotangents flow through the HDR consume pass too
+    _assert_tri_close(g, gref, 5e-4)
+
+
+def test_fit_scene_triangle_vertices_pallas():
+    """fit_scene can fit triangles.p0 with grad_backend='pallas': vertex
+    gradients from the mesh backward kernel drive a real optimization
+    step (VERDICT r3 item 5)."""
+    scene = _mesh_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4,
+                           nan_policy="zero")
+    target = ort.render(scene, cfg, seed=7)
+    # perturb the mesh and fit it back toward the target
+    bad = dc.replace(scene, triangles=dc.replace(
+        scene.triangles, p0=scene.triangles.p0 + 0.02))
+    fitted, history = ort.fit_scene(
+        target, bad, cfg, ["triangles.p0"], steps=4,
+        learning_rate=5e-3, grad_backend="pallas", pallas_interpret=True,
+        seed=7, sample_new_noise=False)
+    assert history[-1] < history[0], history
+    moved = np.abs(np.asarray(fitted.triangles.p0)
+                   - np.asarray(bad.triangles.p0)).max()
+    assert moved > 0.0
