@@ -17,8 +17,9 @@ Brand-new framework with the capabilities of WillBurland/OpenCL-Ray-Tracer
 
 from .config import README_BENCH, REFERENCE_DEFAULTS, RenderConfig
 from .scene import (BoundingBoxes, Camera, Scene, Sky, Spheres, Triangles,
-                    book_cover_scene, materials, readme_scene,
-                    reference_scene, scene_from_json, scene_to_json)
+                    book_cover_scene, flagship_scene, materials,
+                    readme_scene, reference_scene, scene_from_json,
+                    scene_to_json)
 from .tracer import render, render_and_grad, render_rows
 from .tracer.soft import render_soft
 from .optimize import fit_scene
@@ -29,6 +30,7 @@ __all__ = [
     "RenderConfig", "REFERENCE_DEFAULTS", "README_BENCH",
     "Scene", "Camera", "Spheres", "Triangles", "BoundingBoxes", "Sky",
     "materials", "readme_scene", "reference_scene", "book_cover_scene",
+    "flagship_scene",
     "scene_from_json", "scene_to_json",
     "render", "render_rows", "render_and_grad", "render_soft", "fit_scene",
 ]

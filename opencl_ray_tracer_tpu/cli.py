@@ -20,12 +20,16 @@ import sys
 
 
 def _build_scene(name: str):
-    from . import (book_cover_scene, readme_scene, reference_scene,
-                   scene_from_json)
+    from . import (book_cover_scene, flagship_scene, readme_scene,
+                   reference_scene, scene_from_json)
     if name == "readme":
         return readme_scene()
     if name == "reference":
-        return reference_scene()
+        # the reference executable's default render (main.cpp:118-133):
+        # F1 car mesh + 8 spheres + HDR skybox, auto-resolved from assets
+        return flagship_scene()
+    if name == "reference-bare":
+        return reference_scene()   # the 8 spheres alone (no assets)
     if name == "cover":
         return book_cover_scene()
     return scene_from_json(name)
@@ -37,7 +41,9 @@ def main(argv=None) -> int:
 
     pr = sub.add_parser("render", help="render a scene to an image file")
     pr.add_argument("--scene", default="readme",
-                    help="readme | reference | cover | path/to/scene.json")
+                    help="readme | reference (F1 car + HDR skybox, the "
+                         "reference binary's default) | reference-bare | "
+                         "cover | path/to/scene.json")
     pr.add_argument("--width", type=int, default=1280)
     pr.add_argument("--height", type=int, default=720)
     pr.add_argument("--spp", type=int, default=5)

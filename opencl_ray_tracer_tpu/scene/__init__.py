@@ -34,12 +34,13 @@ jax.tree_util.register_dataclass(
 )
 
 from .presets import (  # noqa: E402
-    readme_scene, reference_scene, book_cover_scene)
+    flagship_scene, readme_scene, reference_scene, book_cover_scene)
 from .builder import scene_from_json, scene_to_json  # noqa: E402
 
 __all__ = [
     "Scene", "Camera", "Spheres", "Triangles", "BoundingBoxes", "Sky",
     "camera_frame", "make_rays", "sky_colour", "direction_to_uv",
     "materials", "readme_scene", "reference_scene", "book_cover_scene",
+    "flagship_scene",
     "scene_from_json", "scene_to_json",
 ]

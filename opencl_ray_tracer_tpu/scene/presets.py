@@ -109,3 +109,40 @@ def book_cover_scene(n_random: int = 96, seed: int = 3,
         focus_dist=10.0, aperture_deg=0.6)
     return Scene(camera, Spheres.from_list(entries), Triangles.empty(),
                  BoundingBoxes.empty(), Sky.gradient())
+
+
+def flagship_scene(aspect_ratio: float = 16.0 / 9.0,
+                   obj_path: str = None, hdr_path: str = None) -> "Scene":
+    """The reference executable's DEFAULT render, assembled from assets.
+
+    Running the reference binary renders the F1 car mesh + 8 spheres + HDR
+    skybox with everything hardcoded (``main.cpp:118-133``).  This helper
+    reproduces that one-shot: it resolves ``f1_car.obj`` (explicit path ->
+    the reference checkout -> the bundled ``assets/torus.obj`` fallback)
+    and an HDR sky (explicit path -> bundled ``assets/sky.hdr`` ->
+    procedural ``make_sky_image``), tone-maps it (``main.cpp:150``), and
+    hands both to :func:`reference_scene`.  Used by the CLI's
+    ``--scene reference`` and by ``bench.py``.
+    """
+    import os
+
+    from ..io.hdr import load_hdr, tone_map
+    from ..io.obj import load_obj
+    from ..io.procgen import make_sky_image
+
+    assets = os.path.join(os.path.dirname(__file__), "..", "..", "assets")
+    if obj_path is None:
+        ref = "/root/reference/src/assets/models/f1_car.obj"
+        obj_path = ref if os.path.exists(ref) else os.path.join(
+            assets, "torus.obj")
+    tris, aabb = load_obj(obj_path, scale=(0.15, 0.15, 0.15),
+                          translate=(0.0, -0.5, -1.0))
+
+    # the reference's skybox.hdr is a missing LFS blob, so the default sky
+    # is the procedural panorama at the bench's detail level; an explicit
+    # hdr_path overrides it.
+    img = (load_hdr(hdr_path) if hdr_path is not None
+           else make_sky_image(1024, 512))
+    sky = Sky.hdr(tone_map(img))
+    return reference_scene(aspect_ratio=aspect_ratio, mesh_tris=tris,
+                           mesh_aabb=aabb, sky=sky)

@@ -39,6 +39,32 @@ def test_cli_render_bmp(tmp_path):
     assert img.mean() > 10  # not black
 
 
+def test_cli_render_reference_default_scene(tmp_path):
+    """--scene reference is the reference binary's default render
+    (main.cpp:118-133): mesh + 8 spheres + HDR skybox, auto-resolved from
+    assets — one command, no hand assembly."""
+    out = str(tmp_path / "out.bmp")
+    r = _run(["render", "--scene", "reference", "--width", "64",
+              "--height", "36", "--spp", "2", "--max-depth", "3", "--cpu",
+              "-o", out], REPO)
+    assert r.returncode == 0, r.stderr
+    img = read_bmp(out)
+    assert img.shape == (36, 64, 3)
+    assert img.mean() > 10
+
+
+def test_flagship_scene_contents():
+    import opencl_ray_tracer_tpu as ort
+    from opencl_ray_tracer_tpu.scene.sky import KIND_HDR
+
+    scene = ort.flagship_scene()
+    assert scene.spheres.count == 8
+    assert scene.triangles.count > 0          # f1_car.obj or torus fallback
+    assert scene.boxes.count >= 1
+    assert scene.sky.kind == KIND_HDR
+    assert float(np.asarray(scene.sky.image).max()) <= 1.0  # tone-mapped
+
+
 def test_cli_render_json_scene_png(tmp_path):
     scene = tmp_path / "scene.json"
     scene.write_text("""{
