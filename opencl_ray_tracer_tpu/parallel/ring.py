@@ -60,6 +60,88 @@ def _merge(a: HitInfo, b: HitInfo) -> HitInfo:
     )
 
 
+def ring_hit_fn_mm(scene_local: Scene, axis_name: str = TILE_AXIS,
+                   t_min: float = 1e-3, axis_size: int | None = None,
+                   chunk: int | None = None):
+    """MXU-path geometry ring: the rotation/fold of :func:`ring_hit_fn`
+    with each step's local intersection running the matmul
+    (``tracer/mesh_accel``) Moller-Trumbore form — per-triangle weight
+    columns contracted on the MXU, chunk-folded with box gating — instead
+    of the scalar ``closest_hit`` loop.  This is what makes HBM-exceeding
+    meshes fast: every ring step is a dense (rays, 10) x (10, 4*chunk)
+    contraction over this chip's shard while ``ppermute`` rotates the
+    shard around the ICI ring (XLA overlaps the permute with the next
+    step's matmuls).
+
+    The triangle weight tables are built ONCE from the local shard and
+    the prebuilt feature leaves themselves ride the ring (weights,
+    normals, materials) — no per-step rebuild, and the dot consumes plain
+    arrays exactly as the replicated fold does, keeping per-triangle
+    arithmetic bit-identical to the single-device matmul path (a rebuild
+    inside the scan body changes XLA fusion and costs ~1-ulp t drift —
+    measured).  Exactness: min over a partition == global min
+    (``gpu_kernel.cl:358-394`` closest-so-far semantics).
+    """
+    import jax.numpy as _jnp
+
+    from ..tracer.intersect import hit_aabbs
+    from ..tracer.mesh_accel import (MM_CHUNK, _mm_closest_tri,
+                                     build_tri_features)
+
+    n = axis_size if axis_size is not None else jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    chunk = chunk or MM_CHUNK
+    BIG = 3.0e38
+
+    def hit_fn(o, d):
+        sphere_scene = dataclasses.replace(
+            scene_local, triangles=Triangles.empty(),
+            boxes=BoundingBoxes.empty())
+        best = closest_hit(sphere_scene, o, d, t_min)
+        if scene_local.boxes.count > 0:
+            box_hit = hit_aabbs(o, d, scene_local.boxes.box_min,
+                                scene_local.boxes.box_max)
+        else:
+            box_hit = _jnp.zeros((o.shape[0], 1), bool)
+
+        feats0 = build_tri_features(scene_local, chunk=chunk)
+        leaves = dict(weights=feats0.weights, normal=feats0.normal,
+                      albedo=feats0.albedo, fuzz=feats0.fuzz,
+                      ior=feats0.ior, mat_type=feats0.mat_type,
+                      box_id=feats0.box_id)
+
+        def body(carry, _):
+            best, lv = carry
+            feats = feats0._replace(**lv)
+            tri_t, tri_idx = _mm_closest_tri(feats, box_hit, o, d, t_min)
+            take = tri_t < BIG
+            idx = _jnp.clip(tri_idx, 0, feats.normal.shape[0] - 1)
+            outward = feats.normal[idx]
+            front = _jnp.sum(d * outward, axis=-1) < 0.0
+            t_safe = _jnp.where(take, tri_t, 1.0)
+            h = HitInfo(
+                hit=take,
+                t=_jnp.where(take, tri_t, BIG),
+                point=o + t_safe[:, None] * d,
+                normal=_jnp.where(front[:, None], outward, -outward),
+                front_face=front,
+                albedo=feats.albedo[idx],
+                fuzz=feats.fuzz[idx],
+                ior=feats.ior[idx],
+                mat_type=feats.mat_type[idx],
+            )
+            best = _merge(best, h)
+            lv = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, axis_name, perm), lv)
+            return (best, lv), None
+
+        (best, _), _ = jax.lax.scan(
+            body, (best, leaves), None, length=n)
+        return best
+
+    return hit_fn
+
+
 def ring_hit_fn(scene_local: Scene, axis_name: str = TILE_AXIS,
                 t_min: float = 1e-3, axis_size: int | None = None):
     """Build a closest-hit function for use *inside* shard_map, where
