@@ -164,7 +164,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                       has_fuzz: bool, has_aperture: bool,
                       n_slots: int = MIN_SLOTS,
                       tile_rows: int = TILE_ROWS, mesh=None,
-                      hdr_mode=None):
+                      hdr_mode=None, fill_only: bool = False,
+                      profile_skip: str = ""):
     """Backward kernel body; all config static.  NaN policy is always
     "zero" (order-invariant; see module docstring).  n_slots = record-ring
     depth (>= max_depth for forward progress).
@@ -1109,19 +1110,20 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 # draws, then reset the lane adjoint — the record below
                 # belongs to the previous path.
                 is_k0 = alive & (k_rec == 0.0)
-                u0, u1, u2, u3 = _uniform4(seed_arr, pix_u, s_u,
-                                           jnp.zeros_like(pix_u))
+                if "cam" not in profile_skip:
+                    u0, u1, u2, u3 = _uniform4(seed_arr, pix_u, s_u,
+                                               jnp.zeros_like(pix_u))
 
-                def cray(cam_t):
-                    return camera_ray_fn(cam_t, u0, u1, u2, u3)
+                    def cray(cam_t):
+                        return camera_ray_fn(cam_t, u0, u1, u2, u3)
 
-                _, cvjp = jax.vjp(cray, cam_s)
-                (gc0,) = cvjp((jnp.where(is_k0, aox, 0.0),
-                               jnp.where(is_k0, aoy, 0.0),
-                               jnp.where(is_k0, aoz, 0.0),
-                               jnp.where(is_k0, adx, 0.0),
-                               jnp.where(is_k0, ady, 0.0),
-                               jnp.where(is_k0, adz, 0.0)))
+                    _, cvjp = jax.vjp(cray, cam_s)
+                    (gc0,) = cvjp((jnp.where(is_k0, aox, 0.0),
+                                   jnp.where(is_k0, aoy, 0.0),
+                                   jnp.where(is_k0, aoz, 0.0),
+                                   jnp.where(is_k0, adx, 0.0),
+                                   jnp.where(is_k0, ady, 0.0),
+                                   jnp.where(is_k0, adz, 0.0)))
                 st[A_OX] = jnp.where(is_k0, 0.0, aox)
                 st[A_OY] = jnp.where(is_k0, 0.0, aoy)
                 st[A_OZ] = jnp.where(is_k0, 0.0, aoz)
@@ -1132,16 +1134,22 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 st[A_TG] = jnp.where(is_k0, 0.0, atg)
                 st[A_TB] = jnp.where(is_k0, 0.0, atb)
 
-                crow = jnp.zeros((1, LANES), jnp.float32)
-                for p, cslot in enumerate(CAM_SLOTS):
-                    crow = jnp.where(lane_i == cslot, crow + gc0[p], crow)
-                gacc[0, :n_rows_acc, :] = (gacc[0, :n_rows_acc, :]
-                                           + scalars_to_rows(gc_s, gs_s))
-                gacc[0, n_rows_acc - 1:n_rows_acc, :] = (
-                    gacc[0, n_rows_acc - 1:n_rows_acc, :] + crow)
+                if "acc" not in profile_skip:
+                    gacc[0, :n_rows_acc, :] = (
+                        gacc[0, :n_rows_acc, :]
+                        + scalars_to_rows(gc_s, gs_s))
+                if "cam" not in profile_skip:
+                    crow = jnp.zeros((1, LANES), jnp.float32)
+                    for p, cslot in enumerate(CAM_SLOTS):
+                        crow = jnp.where(lane_i == cslot, crow + gc0[p],
+                                         crow)
+                    gacc[0, n_rows_acc - 1:n_rows_acc, :] = (
+                        gacc[0, n_rows_acc - 1:n_rows_acc, :] + crow)
                 return 0
 
-            if hdr_mode != "emit":
+            if hdr_mode != "emit" and not fill_only:
+                # fill_only (profiling instrumentation): skip the reverse
+                # sweep entirely to isolate fill cost; outputs stay zero
                 jax.lax.fori_loop(0, n_slots, rev_body, 0)
             return (it + 1, jnp.any(st[S_S] < spp_f))
 
@@ -1200,7 +1208,8 @@ def _grad_tables_jit(scene, cfg, g_img, seed, sample_base, n_samples,
 
 def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
                        seed, sample_base, n_samples, flags, interpret,
-                       pix_base=None, full_height=None):
+                       pix_base=None, full_height=None,
+                       fill_only: bool = False, profile_skip: str = ""):
     """pix_base (traced i32) positions this g_img block's first pixel in
     the GLOBAL linear pixel index (sharded row blocks; camera math uses
     full_height = the global image height)."""
@@ -1225,7 +1234,8 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
         sky_kind=sky_kind, clamp_samples=cfg.clamp_samples,
         has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
         has_fuzz=has_fuzz, has_aperture=has_aperture, n_slots=n_slots,
-        tile_rows=tile_rows)
+        tile_rows=tile_rows, fill_only=fill_only,
+        profile_skip=profile_skip)
 
     n_tiles = -(-n_pix // tile)
     pad = n_tiles * tile - n_pix
