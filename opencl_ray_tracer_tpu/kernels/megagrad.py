@@ -73,6 +73,17 @@ clamp-before-average exactly as the forward kernels.  Scope =
 megakernel.supports() up to GRAD_MAX_SPHERES spheres, gradient/constant
 sky.
 
+Round-4 TPU measurements (README 250spp/d50; do not re-learn):
+fill 0.26 s + reverse 0.40 s = 0.66 s; of the reverse, the per-slot
+scalar-cotangent reduces + gacc folds are ~0.07 s and the camera vjp
+~0.02 s (profile_skip flags).  (rows=32, slots=64) beat (32,50),
+(16,64), (16,128), (8,256).  Two NEGATIVE results, both measured:
+hoisting the gacc select-folds out of the slot loop via scalar fori
+carries was SLOWER (0.70 vs 0.66 — ~60 scalar carries serialize), and
+per-slot idle gating (pl.when on any-valid-record) was slower at EVERY
+spp (250spp: 0.80; spp=8: 0.094 vs 0.088 — the branch+reduce breaks
+the slot-loop pipelining even when 2/3 of the slots are idle).
+
 Reference parity: this is the backward of ``pixel_colour``
 (gpu_kernel.cl:595-648) — a capability the reference does not have.
 """

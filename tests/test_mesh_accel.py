@@ -56,7 +56,7 @@ def test_mm_matches_direct_random_triangles():
                                np.asarray(want.normal)[same], atol=1e-4)
 
 
-def test_mm_f1_car_mesh():
+def _f1_mm_body():
     tris, aabb = load_obj("/root/reference/src/assets/models/f1_car.obj",
                           scale=(0.15, 0.15, 0.15),
                           translate=(0.0, -0.5, -1.0))
@@ -75,6 +75,31 @@ def test_mm_f1_car_mesh():
     np.testing.assert_array_equal(np.asarray(got.hit), hit_w)
     np.testing.assert_allclose(np.asarray(got.t)[hit_w],
                                np.asarray(want.t)[hit_w], rtol=2e-4)
+
+
+def test_mm_f1_car_mesh():
+    """Runs in a SUBPROCESS: compiling the 15,329-triangle scalar oracle
+    deterministically segfaults XLA:CPU's compiler when the process
+    already carries most of the suite's compiled state (reproduced 3x at
+    the same test with both halves of the suite passing in isolation —
+    an upstream compiler bug, not a framework one)."""
+    import os
+    import subprocess
+    import sys
+    here = os.path.abspath(__file__)
+    script = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import runpy\n"
+        f"m = runpy.run_path({here!r}, run_name='_f1_sub')\n"
+        "m['_f1_mm_body']()\n"
+        "print('OK')\n")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=900,
+                       env=env,
+                       cwd=os.path.dirname(os.path.dirname(here)))
+    assert r.returncode == 0 and "OK" in r.stdout, \
+        f"rc={r.returncode}\n{r.stdout[-500:]}\n{r.stderr[-2000:]}"
 
 
 def test_mm_render_equivalent():
