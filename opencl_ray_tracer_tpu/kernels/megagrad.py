@@ -166,6 +166,12 @@ N_TRI_SC = 9
 # keep the cluster gates firing — a linear tile spans the image width and
 # defeats culling (measured on the forward kernel; see megamesh.py).
 MESH_TILE_ROWS = 16
+# Pixel rows per fill-fold matmul in the mesh variant (megamesh's SUB
+# trick; the row group collapses to lanes so N = 8*128): per-fire cost is
+# overhead-dominated, so batching rows is ~free while cutting fired
+# matmuls ~8x (the F1 grad fill measured 7.6x the forward's cost with
+# per-row fires).  Must divide MESH_TILE_ROWS.
+MESH_ROW_BATCH = 8
 
 
 def _make_grad_kernel(n_spheres: int, width: int, height: int,
@@ -707,8 +713,9 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
 
                 @pl.when(top_any > 0)
                 def _mesh():
-                    ones_row = jnp.ones((1, LANES), jnp.float32)
-                    zeros_rows = jnp.zeros((6, LANES), jnp.float32)
+                    NW = MESH_ROW_BATCH * LANES
+                    ones_row = jnp.ones((1, NW), jnp.float32)
+                    zeros_rows = jnp.zeros((6, NW), jnp.float32)
                     for ci_ in range(n_chunks):
                         cl_hit, cl_lo = slab(aabb_ref, ci_)
                         m_c = (cl_hit & box_hits[chunk_box_ids[ci_]]
@@ -724,20 +731,30 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                            ci_ * c4 + 3 * chunk:
                                            ci_ * c4 + 4 * chunk]
 
-                            def row(r, _):
-                                r1 = pl.ds(r, 1)
+                            def row(rg, _):
+                                # MESH_ROW_BATCH pixel rows per matmul
+                                # (megamesh's SUB trick): collapse the
+                                # row group to lanes so the matmul N is
+                                # B*128 — per-fire cost is dominated by
+                                # fixed overheads, so batching rows is
+                                # nearly free (measured on megamesh)
+                                r1 = pl.ds(rg * MESH_ROW_BATCH,
+                                           MESH_ROW_BATCH)
+                                wide = lambda x: x.reshape(1, NW)
                                 row_any = jnp.max(tri_sc[7, r1, :])
 
                                 @pl.when(row_any > 0.0)
                                 def _row_body():
                                     f = jnp.concatenate([
-                                        st[S_DX, r1, :], st[S_DY, r1, :],
-                                        st[S_DZ, r1, :],
-                                        tri_sc[4, r1, :],
-                                        tri_sc[5, r1, :],
-                                        tri_sc[6, r1, :],
-                                        st[S_OX, r1, :], st[S_OY, r1, :],
-                                        st[S_OZ, r1, :],
+                                        wide(st[S_DX, r1, :]),
+                                        wide(st[S_DY, r1, :]),
+                                        wide(st[S_DZ, r1, :]),
+                                        wide(tri_sc[4, r1, :]),
+                                        wide(tri_sc[5, r1, :]),
+                                        wide(tri_sc[6, r1, :]),
+                                        wide(st[S_OX, r1, :]),
+                                        wide(st[S_OY, r1, :]),
+                                        wide(st[S_OZ, r1, :]),
                                         ones_row, zeros_rows], axis=0)
                                     prod = jax.lax.dot_general(
                                         w, f, (((0,), (0,)), ((), ())),
@@ -753,8 +770,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                     us = u_num * sgn_a
                                     vs = v_num * sgn_a
                                     ts = t_num * sgn_a
-                                    gate = tri_sc[7, r1, :] > 0.0
-                                    old = tri_sc[0, r1, :]
+                                    gate = wide(tri_sc[7, r1, :]) > 0.0
+                                    old = wide(tri_sc[0, r1, :])
                                     m3 = jnp.minimum(jnp.minimum(us, vs),
                                                      abs_a - (us + vs))
                                     imp = ((abs_a >= 1e-5)
@@ -775,7 +792,7 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                                        keepdims=True)
                                         ai = jnp.argmin(tt, axis=0)
                                         oh = (jax.lax.broadcasted_iota(
-                                            jnp.int32, (chunk, LANES), 0)
+                                            jnp.int32, (chunk, NW), 0)
                                             == ai[None, :]
                                         ).astype(jnp.float32)
                                         nrm = jax.lax.dot_general(
@@ -794,30 +811,40 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                         ra_w = ra_w * (2.0 - aa_w * ra_w)
                                         ct = jnp.where(ct_a < BIG,
                                                        ts_w * ra_w, BIG)
+                                        # int32 iota -> f32: Mosaic has
+                                        # no float iota
                                         id_w = jnp.sum(
                                             (jax.lax.broadcasted_iota(
-                                                jnp.float32,
-                                                (chunk, LANES), 0)
+                                                jnp.int32,
+                                                (chunk, NW), 0)
+                                             .astype(jnp.float32)
                                              + jnp.float32(ci_ * chunk))
                                             * oh, axis=0, keepdims=True)
                                         upd = ct < old
-                                        tri_sc[0, r1, :] = jnp.where(
-                                            upd, ct, old)
-                                        tri_sc[1, r1, :] = jnp.where(
-                                            upd, nrm[0:1, :],
-                                            tri_sc[1, r1, :])
-                                        tri_sc[2, r1, :] = jnp.where(
-                                            upd, nrm[1:2, :],
-                                            tri_sc[2, r1, :])
-                                        tri_sc[3, r1, :] = jnp.where(
-                                            upd, nrm[2:3, :],
-                                            tri_sc[3, r1, :])
-                                        tri_sc[8, r1, :] = jnp.where(
-                                            upd, id_w,
-                                            tri_sc[8, r1, :])
+                                        narrow = lambda x: x.reshape(
+                                            MESH_ROW_BATCH, LANES)
+                                        tri_sc[0, r1, :] = narrow(
+                                            jnp.where(upd, ct, old))
+                                        tri_sc[1, r1, :] = narrow(
+                                            jnp.where(
+                                                upd, nrm[0:1, :],
+                                                wide(tri_sc[1, r1, :])))
+                                        tri_sc[2, r1, :] = narrow(
+                                            jnp.where(
+                                                upd, nrm[1:2, :],
+                                                wide(tri_sc[2, r1, :])))
+                                        tri_sc[3, r1, :] = narrow(
+                                            jnp.where(
+                                                upd, nrm[2:3, :],
+                                                wide(tri_sc[3, r1, :])))
+                                        tri_sc[8, r1, :] = narrow(
+                                            jnp.where(
+                                                upd, id_w,
+                                                wide(tri_sc[8, r1, :])))
                                 return 0
 
-                            jax.lax.fori_loop(0, tile_rows, row, 0)
+                            jax.lax.fori_loop(
+                                0, tile_rows // MESH_ROW_BATCH, row, 0)
 
             if hdr_mode == "emit":
                 # safe default miss direction (0, 0, 1): samples that
@@ -1076,34 +1103,49 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
 
                     @pl.when(tid_hi >= 0.0)
                     def _acc_tri():
+                        # Stage the per-lane cotangents/ids into tri_sc
+                        # (free during the reverse; the fill re-inits it)
+                        # so the row loop can pl.ds-slice a REF — Mosaic
+                        # has no dynamic_slice on values.
+                        tri_sc[0] = g_nx
+                        tri_sc[1] = g_ny
+                        tri_sc[2] = g_nz
+                        tri_sc[3] = g_cc
+                        tri_sc[4] = tid_rec
+                        tri_sc[5] = tri_m.astype(jnp.float32)
                         for ci_ in range(n_chunks):
                             base = jnp.float32(ci_ * chunk)
                             top = jnp.float32((ci_ + 1) * chunk)
 
                             @pl.when((tid_lo < top) & (tid_hi >= base))
                             def _chunk_acc(ci_=ci_, base=base):
-                                in_c = (tri_m & (tid_rec >= base)
-                                        & (tid_rec < base + chunk))
-                                rel = tid_rec - base
+                                NW = MESH_ROW_BATCH * LANES
 
-                                def rrow(r, _):
-                                    sl = lambda v: \
-                                        jax.lax.dynamic_slice_in_dim(
-                                            v, r, 1, 0)
-                                    m_r = sl(in_c)
+                                def rrow(rg, _):
+                                    r1 = pl.ds(rg * MESH_ROW_BATCH,
+                                               MESH_ROW_BATCH)
+                                    wd = lambda x: x.reshape(1, NW)
+                                    tid_r = wd(tri_sc[4, r1, :])
+                                    m_r = ((wd(tri_sc[5, r1, :]) > 0.0)
+                                           & (tid_r >= base)
+                                           & (tid_r < base + chunk))
                                     row_any = jnp.max(
                                         m_r.astype(jnp.int32))
 
                                     @pl.when(row_any > 0)
                                     def _row():
                                         oh = ((jax.lax.broadcasted_iota(
-                                            jnp.float32,
-                                            (chunk, LANES), 0)
-                                            == sl(rel)) & m_r
+                                            jnp.int32,
+                                            (chunk, NW), 0)
+                                            .astype(jnp.float32)
+                                            == (tid_r - base)) & m_r
                                         ).astype(jnp.float32)
                                         arow = jnp.concatenate(
-                                            [sl(g_nx), sl(g_ny),
-                                             sl(g_nz), sl(g_cc)], axis=0)
+                                            [wd(tri_sc[0, r1, :]),
+                                             wd(tri_sc[1, r1, :]),
+                                             wd(tri_sc[2, r1, :]),
+                                             wd(tri_sc[3, r1, :])],
+                                            axis=0)
                                         blk = jax.lax.dot_general(
                                             arow, oh,
                                             (((1,), (1,)), ((), ())),
@@ -1115,7 +1157,9 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                             gtri_ref[:, cs] + blk)
                                     return 0
 
-                                jax.lax.fori_loop(0, tile_rows, rrow, 0)
+                                jax.lax.fori_loop(
+                                    0, tile_rows // MESH_ROW_BATCH,
+                                    rrow, 0)
 
                 # depth-0 records: chain the camera VJP for this sample's
                 # draws, then reset the lane adjoint — the record below

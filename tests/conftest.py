@@ -22,6 +22,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """XLA:CPU's compiler segfaults deterministically once a single
+    process accumulates most of this suite's compilations (reproduced at
+    whatever test compiles ~115 tests in — first test_mm_f1_car_mesh,
+    then, after isolating that one, the next test in line).  Clearing the
+    compilation caches between modules keeps the per-process pressure
+    bounded; ``pytest -n 4`` (fresh worker processes) avoids it too and
+    is the faster way to run the full suite."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def readme_scene_small():
     import opencl_ray_tracer_tpu as ort

@@ -407,7 +407,14 @@ def test_sharded_mesh_grad_matches_single_device():
         b = np.asarray(getattr(g_ref.spheres, name))
         scale = max(float(np.abs(b).max()), 1e-6)
         assert float(np.abs(a - b).max()) / scale < 1e-4, name
-    assert float(np.abs(np.asarray(g.triangles.p0)).max()) == 0.0
+    # triangle vertex cotangents are real (round 4) and must psum to the
+    # single-device kernel's values
+    for name in ("p0", "p1", "p2"):
+        a = np.asarray(getattr(g.triangles, name))
+        b = np.asarray(getattr(g_ref.triangles, name))
+        assert float(np.abs(b).max()) > 0.0, name
+        scale = max(float(np.abs(b).max()), 1e-9)
+        assert float(np.abs(a - b).max()) / scale < 1e-4, name
 
 
 def test_sharded_pallas_train_step_mesh_template():
