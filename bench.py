@@ -192,6 +192,40 @@ def main() -> int:
     if r:
         extra.update(r)
 
+    # ---- flagship fwd+bwd: the reference DEFAULT scene (F1 + HDR sky)
+    # differentiated at kernel rate, incl. triangle-vertex cotangents —
+    # a capability the reference lacks entirely ----
+    def flagship_grad_section():
+        from opencl_ray_tracer_tpu.tracer.render import render_grad_sampled
+
+        f1 = ort.flagship_scene()
+        f1_cfg = ort.RenderConfig()   # 1280x720x5spp/d32 defaults
+        loss_fn = lambda im: jnp.mean(im ** 2)
+
+        def run_g(seed):
+            _, _, grads = render_grad_sampled(f1, f1_cfg, loss_fn,
+                                              seed=seed,
+                                              grad_backend="pallas")
+            jax.block_until_ready(grads)
+            return grads
+
+        t0 = time.perf_counter()
+        grads = run_g(31)
+        print(f"# flagship fwd+bwd first (compile + run): "
+              f"{time.perf_counter() - t0:.1f} s", file=sys.stderr)
+        t0 = time.perf_counter()
+        grads = run_g(32)
+        dt_g = time.perf_counter() - t0
+        gmax = float(jnp.max(jnp.abs(grads.spheres.center)))
+        assert gmax > 0, "zero gradients in flagship fwd+bwd"
+        print(f"# flagship fwd+bwd (F1+HDR 5spp/d32): {dt_g:.3f} s",
+              file=sys.stderr)
+        return {"flagship_fwd_bwd_seconds": round(dt_g, 3)}
+
+    r = _budgeted("flagship fwd+bwd measurement", flagship_grad_section)
+    if r:
+        extra.update(r)
+
     # re-emit the same headline with the full extras (drivers taking the
     # last JSON line get this one; the value is identical either way)
     _emit(samples_per_s, extra)
