@@ -216,7 +216,10 @@ def main() -> int:
         t0 = time.perf_counter()
         grads = run_g(32)
         dt_g = time.perf_counter() - t0
-        gmax = float(jnp.max(jnp.abs(grads.spheres.center)))
+        # under the HDR sky the nearest-texel lookup has zero
+        # direction-derivative, so interior GEOMETRY gradients are
+        # exactly zero (matching the jnp VJP); albedo carries the signal
+        gmax = float(jnp.max(jnp.abs(grads.spheres.albedo)))
         assert gmax > 0, "zero gradients in flagship fwd+bwd"
         print(f"# flagship fwd+bwd (F1+HDR 5spp/d32): {dt_g:.3f} s",
               file=sys.stderr)

@@ -1004,6 +1004,13 @@ def render_pallas_mesh(scene: Scene, cfg: RenderConfig, seed: int = 0,
                                flags, plan, rows, jnp.int32(pix_offset),
                                schedule, True)
     if not bool(ok):
+        import warnings
+        warnings.warn(
+            "megamesh: a compaction round overflowed its capacity for "
+            f"this scene/config (spp={cfg.spp}, depth={cfg.max_depth}); "
+            "re-rendering in one uncapped round (~2x cost).  The ladder "
+            "margins (_round_schedule) may need widening for this "
+            "scene's survival curve.")
         img, _ = _render_mesh_jit(
             scene, cfg, jnp.int32(seed), interpret, flags, plan, rows,
             jnp.int32(pix_offset),
