@@ -229,6 +229,24 @@ def main() -> int:
     if r:
         extra.update(r)
 
+    # ---- book-cover (100-sphere RTiOW) scene at the headline config ----
+    def book_cover_section():
+        bc = ort.book_cover_scene(aspect_ratio=width / height)
+        img2 = ort.render(bc, cfg, seed=41)
+        jax.block_until_ready(img2)
+        t0 = time.perf_counter()
+        img2 = ort.render(bc, cfg, seed=42)
+        jax.block_until_ready(img2)
+        dt2 = time.perf_counter() - t0
+        assert not bool(jnp.isnan(img2).any())
+        print(f"# book-cover 100 spheres (250spp/d50): {dt2:.3f} s",
+              file=sys.stderr)
+        return {"book_cover_seconds": round(dt2, 3)}
+
+    r = _budgeted("book-cover measurement", book_cover_section)
+    if r:
+        extra.update(r)
+
     # re-emit the same headline with the full extras (drivers taking the
     # last JSON line get this one; the value is identical either way)
     _emit(samples_per_s, extra)

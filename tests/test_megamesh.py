@@ -199,9 +199,14 @@ def test_compaction_overflow_falls_back():
         scene, cfg, jnp.int32(1), True, flags, plan, cfg.height,
         jnp.int32(0), schedule=bad, return_ok=True)
     assert not bool(ok), "expected a capacity overflow"
-    via_public = np.asarray(render_pallas_mesh(scene, cfg, seed=1,
-                                               interpret=True,
-                                               schedule=bad))
+    import warnings as _w
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        via_public = np.asarray(render_pallas_mesh(scene, cfg, seed=1,
+                                                   interpret=True,
+                                                   schedule=bad))
+    assert any("compaction round overflowed" in str(c.message)
+               for c in caught), "fallback must warn (diagnosability)"
     single = np.asarray(render_pallas_mesh(scene, cfg, seed=1,
                                            interpret=True,
                                            schedule=_uncapped(cfg)))
