@@ -42,15 +42,54 @@ def _check(cfg: RenderConfig, mesh):
 
 def render_sharded(scene: Scene, cfg: RenderConfig, mesh, seed: int = 0,
                    hit_fn_factory=None, use_pallas: bool = False,
-                   pallas_interpret: bool = False):
+                   pallas_interpret: bool = False,
+                   geometry_ring: bool = False):
     """Render the full image over the mesh; returns (H,W,3) committed to a
     row-sharded layout.  hit_fn_factory(scene) -> hit_fn optionally installs
     a custom closest-hit (the geometry ring, parallel/ring.py).
 
     use_pallas routes each shard's row block through the megakernel
     (spheres + gradient/const sky scenes; sample axis must be 1 — the
-    wavefront kernel owns the whole sample loop)."""
+    wavefront kernel owns the whole sample loop).
+
+    geometry_ring=True shards the TRIANGLES over the tile axis and
+    intersects them with the rotating MXU matmul ring
+    (``ring.ring_hit_fn_mm``) — the first-class path for meshes that
+    exceed one chip's HBM.  Rays stay resident; triangle feature tables
+    ride ``ppermute`` around the ICI ring.  Mutually exclusive with
+    use_pallas / hit_fn_factory."""
     n_tile, n_sample = _check(cfg, mesh)
+    if geometry_ring:
+        assert not use_pallas and hit_fn_factory is None, \
+            "geometry_ring is its own intersection path"
+        assert scene.triangles.count > 0, "geometry_ring needs triangles"
+        import dataclasses as _dc
+
+        from ..scene import Triangles
+        from .ring import ring_hit_fn_mm, shard_triangles
+        tris_padded = shard_triangles(scene.triangles, n_tile)
+        rows_per_r = cfg.height // n_tile
+        spp_per_r = cfg.spp // n_sample
+        # the replicated scene drops the full triangle soup (the whole
+        # point: per shard only 1/n of it is resident at a time)
+        scene_rep = _dc.replace(scene, triangles=Triangles.empty())
+        tri_spec = jax.tree.map(lambda _: P(TILE_AXIS), tris_padded)
+
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(P(), tri_spec),
+            out_specs=P(TILE_AXIS, None, None), check_vma=False)
+        def _render_ring(scene_in, tris_local):
+            ti = jax.lax.axis_index(TILE_AXIS)
+            si = jax.lax.axis_index(SAMPLE_AXIS)
+            local = _dc.replace(scene_in, triangles=tris_local)
+            hit_fn = ring_hit_fn_mm(local, TILE_AXIS)
+            img = render_rows(scene_in, cfg, ti * rows_per_r, rows_per_r,
+                              jnp.uint32(seed),
+                              sample_offset=si * spp_per_r,
+                              spp=spp_per_r, hit_fn=hit_fn)
+            return jax.lax.pmean(img, SAMPLE_AXIS)
+
+        return _render_ring(scene_rep, tris_padded)
     rows_per = cfg.height // n_tile
     spp_per = cfg.spp // n_sample
     pallas_kind = None

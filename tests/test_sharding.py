@@ -192,6 +192,25 @@ def test_geometry_ring_mm_large_mesh_render_matches():
     assert (diff <= 1e-6).mean() > 0.97
 
 
+def test_render_sharded_geometry_ring_api():
+    """render_sharded(geometry_ring=True): triangles sharded over the
+    tile axis + the MXU ring as a first-class option, vs the replicated
+    matmul render (same fma-fusion tolerance model as above)."""
+    from opencl_ray_tracer_tpu.tracer.mesh_accel import make_mm_hit_fn
+    scene = _mesh_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=4, max_depth=4,
+                           early_stop=False)
+    mesh = par.make_mesh(n_tile=4, n_sample=2)
+    img = np.asarray(par.render_sharded(scene, cfg, mesh, seed=0,
+                                        geometry_ring=True))
+    want = np.asarray(render_rows(scene, cfg, jnp.int32(0), cfg.height,
+                                  jnp.uint32(0),
+                                  hit_fn=make_mm_hit_fn(scene)))
+    diff = np.abs(img - want)
+    assert (diff > 1e-3).mean() < 0.01, (diff > 1e-3).mean()
+    assert abs(img.mean() - want.mean()) < 2e-3
+
+
 def test_sharded_train_step_matches_single_device_grads():
     scene = ort.readme_scene()
     cfg = CFG
