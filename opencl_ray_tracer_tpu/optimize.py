@@ -77,6 +77,8 @@ def fit_scene(
     param_mask: dict | None = None,
     grad_backend: str = "auto",
     pallas_interpret: bool = False,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 10,
 ):
     """Gradient-descent fit of the listed scene parameters to ``target``.
 
@@ -91,6 +93,12 @@ def fit_scene(
       The kernels are compiled with value-independent specialization
       (specialize_flags conservative mode) so one compilation serves every
       optimizer step.
+    checkpoint_path: optimizer-state checkpoint/resume (atomic npz of
+      params + optax state + loss history, every ``checkpoint_every``
+      steps and at the end); an interrupted fit restarted with the same
+      arguments continues from the last saved step and — with
+      ``sample_new_noise`` seeds being step-indexed — reproduces the
+      uninterrupted run exactly.
     Returns (fitted_scene, losses list).
     """
     import optax  # deferred: optax creates arrays at import time, which
@@ -214,10 +222,59 @@ def fit_scene(
             return params, opt_state, loss
 
     losses = []
-    for i in range(steps):
+    start = 0
+    if checkpoint_path is not None:
+        st = _load_fit_state(checkpoint_path, params, opt_state)
+        if st is not None:
+            params, opt_state, losses, start = st
+    for i in range(start, steps):
         step_seed = jnp.uint32(seed + i + 1 if sample_new_noise else seed)
         params, opt_state, loss = step_fn(params, opt_state, step_seed)
         losses.append(float(loss))
         if callback is not None:
             callback(i, losses[-1], insert_params(init_scene, params))
+        if (checkpoint_path is not None
+                and ((i + 1) % checkpoint_every == 0 or i + 1 == steps)):
+            _save_fit_state(checkpoint_path, params, opt_state, losses,
+                            i + 1)
     return insert_params(init_scene, params), losses
+
+
+def _save_fit_state(path, params, opt_state, losses, step):
+    """Atomic optimizer-state checkpoint (same temp+rename discipline as
+    parallel/checkpoint.py — a crash mid-write must not corrupt it)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    flat, _ = jax.tree.flatten((params, opt_state))
+    tmp_fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                                   suffix=".tmp.npz")
+    os.close(tmp_fd)
+    np.savez(tmp, step=np.int64(step),
+             losses=np.asarray(losses, np.float64),
+             **{f"leaf_{j}": np.asarray(x) for j, x in enumerate(flat)})
+    os.replace(tmp, path)
+
+
+def _load_fit_state(path, params, opt_state):
+    """Resume state saved by _save_fit_state; None when absent.  The leaf
+    layout must match the current (params, opt_state) treedef — the
+    checkpoint stores leaves positionally."""
+    import os
+
+    import numpy as np
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        step = int(z["step"])
+        losses = [float(v) for v in z["losses"]]
+        flat, treedef = jax.tree.flatten((params, opt_state))
+        assert len(flat) == sum(1 for k in z.files
+                                if k.startswith("leaf_")), \
+            "fit checkpoint does not match the optimizer/param structure"
+        leaves = [jnp.asarray(z[f"leaf_{j}"]) for j in range(len(flat))]
+    params, opt_state = jax.tree.unflatten(treedef, leaves)
+    return params, opt_state, losses, step

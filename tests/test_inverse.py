@@ -162,3 +162,38 @@ def test_fit_scene_pallas_hdr_scene():
     assert abs(loss_p[0] - loss_j[0]) < 5e-4, (loss_p, loss_j)
     np.testing.assert_allclose(np.asarray(fit_p.spheres.albedo),
                                np.asarray(fit_j.spheres.albedo), atol=3e-4)
+
+
+def test_fit_scene_checkpoint_resume(tmp_path):
+    """An interrupted fit resumed from its checkpoint must reproduce the
+    uninterrupted run exactly (step-indexed seeds; atomic npz of
+    params + optax state + loss history)."""
+    import numpy as np
+
+    import opencl_ray_tracer_tpu as ort
+    from opencl_ray_tracer_tpu.optimize import fit_scene
+
+    true_scene = ort.readme_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=3)
+    target = ort.render(true_scene, cfg.replace(early_stop=False), seed=2)
+    bad = true_scene.spheres.albedo.at[1].set(
+        jnp.array([0.3, 0.8, 0.5]))
+    init = dataclasses.replace(
+        true_scene,
+        spheres=dataclasses.replace(true_scene.spheres, albedo=bad))
+    kw = dict(param_paths=("spheres.albedo",), learning_rate=1e-2,
+              seed=5, sample_new_noise=True, grad_backend="jnp")
+
+    full, losses_full = fit_scene(target, init, cfg, steps=6, **kw)
+
+    ck = str(tmp_path / "fit.npz")
+    # "interrupted": run only 3 steps, checkpointing every step
+    fit_scene(target, init, cfg, steps=3, checkpoint_path=ck,
+              checkpoint_every=1, **kw)
+    # resume to the full 6 with the same arguments
+    resumed, losses_res = fit_scene(target, init, cfg, steps=6,
+                                    checkpoint_path=ck,
+                                    checkpoint_every=1, **kw)
+    assert losses_res == losses_full, (losses_res, losses_full)
+    np.testing.assert_array_equal(np.asarray(resumed.spheres.albedo),
+                                  np.asarray(full.spheres.albedo))
