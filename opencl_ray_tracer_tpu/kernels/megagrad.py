@@ -182,7 +182,9 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                       n_slots: int = MIN_SLOTS,
                       tile_rows: int = TILE_ROWS, mesh=None,
                       hdr_mode=None, fill_only: bool = False,
-                      profile_skip: str = ""):
+                      profile_skip: str = "", max_rounds=None,
+                      emit_state: bool = False,
+                      continuation: bool = False):
     """Backward kernel body; all config static.  NaN policy is always
     "zero" (order-invariant; see module docstring).  n_slots = record-ring
     depth (>= max_depth for forward progress).
@@ -545,9 +547,30 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             # sample counter starts exhausted via pix_valid
             pix_valid = (px_i < width) & (py_i < off_ref[0, 3])
             lin = py_i * width + px_i
-        else:
-            (off_ref, cam_ref, sph_ref, gr_ref, gg_ref, gb_ref,
+        elif continuation:
+            # packed tail dispatch (the sphere ladder): lanes carry
+            # (pixel id, start sample, per-pixel cotangent) from the
+            # capped round-0 dispatch; -1 pixel ids are padding
+            (off_ref, cam_ref, sph_ref, state_ref,
              gcam_ref, gsph_ref, st, rec, gacc) = refs
+            tile = pl.program_id(0)
+            first_tile = tile == 0
+            lin = state_ref[0].astype(jnp.int32)
+            pix_valid = lin >= 0
+            lin = jnp.maximum(lin, 0)
+            px_i = lin % width
+            py_i = lin // width
+            g_r = state_ref[2]
+            g_g = state_ref[3]
+            g_b = state_ref[4]
+        else:
+            if emit_state:
+                (off_ref, cam_ref, sph_ref, gr_ref, gg_ref, gb_ref,
+                 gcam_ref, gsph_ref, s_out_ref, st, rec, gacc) = refs
+            else:
+                (off_ref, cam_ref, sph_ref, gr_ref, gg_ref, gb_ref,
+                 gcam_ref, gsph_ref, st, rec, gacc) = refs
+                s_out_ref = None
             tile = pl.program_id(0)
             first_tile = tile == 0
             lin = (off_ref[0, 0] + tile * (tile_rows * LANES)
@@ -562,7 +585,7 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         sample_base = off_ref[0, 2]
         seed_arr = jnp.zeros(shape, _U32) + off_ref[0, 1].astype(_U32)
         zero = jnp.zeros(shape, jnp.float32)
-        if hdr_mode != "emit":
+        if hdr_mode != "emit" and not continuation:
             g_r = gr_ref[...]
             g_g = gg_ref[...]
             g_b = gb_ref[...]
@@ -854,11 +877,17 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                     dsc[3 * _s + 1] = zero
                     dsc[3 * _s + 2] = zero + 1.0
             st[S_S] = jnp.where(pix_valid, 0.0, spp_f)
+        elif continuation:
+            # resume each lane at its carried sample counter; padding
+            # lanes start exhausted
+            st[S_S] = jnp.where(pix_valid, state_ref[1], spp_f)
         else:
             st[S_S] = zero
 
         def round_cond(c):
-            _, any_left = c
+            it, any_left = c
+            if max_rounds is not None:
+                return any_left & (it < max_rounds)
             return any_left
 
         def round_body(c):
@@ -1214,6 +1243,11 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             dref[...] = dsc[...]
             return
 
+        if emit_state:
+            # per-lane sample counter: lanes with s < spp are the ladder
+            # survivors the packed continuation dispatch resumes
+            s_out_ref[...] = st[S_S]
+
         # flush: accumulator rows -> table-shaped outputs (concatenate,
         # not .at[].set — scatters don't lower in Mosaic)
         acc = gacc[0, :n_rows_acc, :]
@@ -1264,10 +1298,19 @@ def _grad_tables_jit(scene, cfg, g_img, seed, sample_base, n_samples,
 def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
                        seed, sample_base, n_samples, flags, interpret,
                        pix_base=None, full_height=None,
-                       fill_only: bool = False, profile_skip: str = ""):
+                       fill_only: bool = False, profile_skip: str = "",
+                       max_rounds=None, emit_state: bool = False,
+                       continuation_state=None):
     """pix_base (traced i32) positions this g_img block's first pixel in
     the GLOBAL linear pixel index (sharded row blocks; camera math uses
-    full_height = the global image height)."""
+    full_height = the global image height).
+
+    Ladder plumbing (see _grad_tables_laddered): max_rounds statically
+    caps the round loop; emit_state additionally returns the per-lane
+    sample counters ((n_tiles*tile_rows, LANES) f32, linear-lane order);
+    continuation_state ((5, rows, LANES): pixel id, start sample, g_r,
+    g_g, g_b; -1 pixel = padding) runs the packed tail dispatch instead
+    of the full grid — g_img is then ignored except for width/height."""
     has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags[:5]
     h, w = g_img.shape[0], g_img.shape[1]
     if full_height is not None:
@@ -1290,7 +1333,49 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
         has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
         has_fuzz=has_fuzz, has_aperture=has_aperture, n_slots=n_slots,
         tile_rows=tile_rows, fill_only=fill_only,
-        profile_skip=profile_skip)
+        profile_skip=profile_skip, max_rounds=max_rounds,
+        emit_state=emit_state,
+        continuation=continuation_state is not None)
+
+    scratch = [
+        pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((N_REC, n_slots * tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
+    ]
+    off = jnp.stack([jnp.int32(0) if pix_base is None else
+                     jnp.asarray(pix_base, jnp.int32), jnp.int32(seed),
+                     jnp.int32(sample_base)]).reshape(1, 3)
+    table_specs = [
+        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    table_outs = [
+        pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    if continuation_state is not None:
+        n2_rows = continuation_state.shape[1]
+        assert n2_rows % tile_rows == 0
+        gcam, gsph = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+                       jax.ShapeDtypeStruct((N_FIELDS, LANES),
+                                            jnp.float32)],
+            grid=(n2_rows // tile_rows,),
+            in_specs=table_specs + [
+                pl.BlockSpec((5, tile_rows, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=table_outs,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(off, cam_tab, sph_tab, continuation_state)
+        return gcam, gsph
 
     n_tiles = -(-n_pix // tile)
     pad = n_tiles * tile - n_pix
@@ -1299,36 +1384,94 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
         g = jnp.pad(g, ((0, pad), (0, 0)))
     g = g.T.reshape(3, n_tiles * tile_rows, LANES)
 
-    gcam, gsph = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+                 jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32)]
+    out_specs = list(table_outs)
+    if emit_state:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (n_tiles * tile_rows, LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec((tile_rows, LANES),
+                                      lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32)],
+        out_shape=out_shape,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM) for _ in range(3)],
-        out_specs=[
-            pl.BlockSpec((1, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
-            pltpu.VMEM((N_REC, n_slots * tile_rows, LANES), jnp.float32),
-            pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
-        ],
+        in_specs=table_specs
+        + [pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM) for _ in range(3)],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(jnp.stack([jnp.int32(0) if pix_base is None else
-                 jnp.asarray(pix_base, jnp.int32), jnp.int32(seed),
-                 jnp.int32(sample_base)]).reshape(1, 3),
-      cam_tab, sph_tab, g[0], g[1], g[2])
-    return gcam, gsph
+    )(off, cam_tab, sph_tab, g[0], g[1], g[2])
+    return outs if emit_state else (outs[0], outs[1])
+
+
+# Sphere-ladder tuning (swept on TPU, README 250spp/d50; plain 0.655 s):
+# (r0=16, denom=2) -> 0.537 s; denom 4/8 and r0 <= 12 overflow (the
+# survivor tail is FAT: >50% of lanes still live at 640 iters = 2.6x
+# spp) and pay the fallback.  r0 = ceil(FACTOR*spp/n_slots).  A capacity
+# overflow falls back to the plain uncapped kernel via lax.cond (sound
+# under jit).  Ladder exactness: rounds restart the current sample from
+# its camera ray, so a cut sample's partial records contribute exactly
+# zero adjoint and the continuation retraces it in full with identical
+# counter-RNG draws; the "zero" NaN policy makes the gcam/gsph sums
+# order-invariant up to fp addition order.
+GRAD_LADDER_MIN_SPP = 64
+GRAD_LADDER_R0_FACTOR = 4.1
+GRAD_LADDER_DENOM = 2
+
+
+def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
+                          g_img, seed, sample_base, n_samples, flags,
+                          interpret, r0=None, denom=GRAD_LADDER_DENOM):
+    """Two-level tail ladder for the sphere backward kernel.
+
+    The uncapped kernel runs each TILE until its slowest lane exhausts
+    spp; measured on the README 250spp/d50 config the mean tile needs
+    ~24 rounds while the mean LANE needs ~14 — half the fill+reverse
+    cost is tail-lane idle.  Round 0 caps the round loop and emits the
+    per-lane sample counters; survivors (pixel id, sample, pixel
+    cotangent) compact into a packed dispatch at 1/denom the lanes."""
+    h, w = g_img.shape[0], g_img.shape[1]
+    n_pix = h * w
+    n_slots = max(MIN_SLOTS, cfg.max_depth)
+    tile_rows = TILE_ROWS if n_spheres <= 32 else TILE_ROWS // 2
+    tile = tile_rows * LANES
+    if r0 is None:
+        r0 = max(2, int(GRAD_LADDER_R0_FACTOR * n_samples / n_slots))
+    gcam0, gsph0, s_out = _grad_tables_inner(
+        cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img, seed,
+        sample_base, n_samples, flags, interpret, max_rounds=r0,
+        emit_state=True)
+    s_flat = s_out.reshape(-1)[:n_pix]
+    spp_f = jnp.float32(n_samples)
+    alive = s_flat < spp_f
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    n_padded = -(-n_pix // tile) * tile
+    cap = max(tile, (n_padded // denom // tile) * tile)
+    ok = n_alive <= cap
+    idx = jnp.nonzero(alive, size=cap, fill_value=-1)[0]
+    valid = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    pix = jnp.where(valid, idx, -1).astype(jnp.float32)
+    s0 = jnp.where(valid, s_flat[safe], spp_f)
+    gl = g_img.reshape(n_pix, 3)[safe] * valid[:, None]
+    state = jnp.stack([pix, s0, gl[:, 0], gl[:, 1], gl[:, 2]]
+                      ).reshape(5, cap // LANES, LANES)
+    gcam1, gsph1 = _grad_tables_inner(
+        cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img, seed,
+        sample_base, n_samples, flags, interpret,
+        continuation_state=state)
+
+    def _fallback(_):
+        return _grad_tables_inner(
+            cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img, seed,
+            sample_base, n_samples, flags, interpret)
+
+    return jax.lax.cond(ok, lambda _: (gcam0 + gcam1, gsph0 + gsph1),
+                        _fallback, None)
 
 
 def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
@@ -1601,7 +1744,9 @@ def _grad_scene_jit(scene, cfg, g_img, seed, flags, interpret):
     (cam_tab, sph_tab), build_vjp = jax.vjp(build, scene)
     # the kernel accumulates raw per-sample contributions; the rendered
     # image is their mean, so the mean-image cotangent carries 1/spp
-    gcam, gsph = _grad_tables_inner(
+    tables = (_grad_tables_laddered if cfg.spp >= GRAD_LADDER_MIN_SPP
+              else _grad_tables_inner)
+    gcam, gsph = tables(
         cam_tab, sph_tab, scene.spheres.count, scene.sky.kind, cfg,
         g_img / jnp.float32(cfg.spp), seed, jnp.int32(0),
         cfg.spp, flags, interpret)

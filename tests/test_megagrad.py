@@ -244,6 +244,35 @@ def _assert_tri_close(g, gref, rtol):
             f"triangles.{name}: relerr {err:.3e} (scale {scale:.2e})"
 
 
+def test_sphere_grad_ladder_matches_plain():
+    """The sphere tail ladder (capped round 0 + packed continuation +
+    lax.cond overflow fallback) must reproduce the plain kernel: exact
+    in all three regimes (huge cap = bitwise; real continuation; forced
+    overflow -> fallback)."""
+    from opencl_ray_tracer_tpu.kernels.megagrad import (
+        _grad_tables_inner, _grad_tables_laddered)
+    from opencl_ray_tracer_tpu.kernels.megakernel import (_camera_table,
+                                                          _sphere_table,
+                                                          specialize_flags)
+    scene = ort.readme_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=8, max_depth=6,
+                           nan_policy="zero")
+    flags = specialize_flags(scene)
+    cam, sph = _camera_table(scene), _sphere_table(scene)
+    g = jnp.linspace(0, 1, 16 * 32 * 3).reshape(16, 32, 3
+                                                ).astype(jnp.float32)
+    args = (cam, sph, 5, scene.sky.kind, cfg, g, jnp.int32(3),
+            jnp.int32(0), 8, flags, True)
+    gc_p, gs_p = _grad_tables_inner(*args)
+    for r0, denom, tag in ((99, 2, "huge cap"), (1, 2, "continuation"),
+                           (1, 512, "overflow fallback")):
+        gc, gs = _grad_tables_laddered(*args, r0=r0, denom=denom)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_p),
+                                   rtol=1e-5, atol=1e-8, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gs_p),
+                                   rtol=1e-5, atol=1e-8, err_msg=tag)
+
+
 def test_mesh_scene_grads_match_jnp():
     from opencl_ray_tracer_tpu.kernels.megagrad import supports_grad_mesh
     scene = _mesh_scene()
