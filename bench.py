@@ -107,9 +107,10 @@ def main() -> int:
     t_first = time.perf_counter() - t_compile
     print(f"# first call (compile + run): {t_first:.2f} s", file=sys.stderr)
 
-    # timed runs (different seed to defeat any result caching)
+    # timed runs (different seed to defeat any result caching); min of 3
+    # — the tunnel adds ~±5% run-to-run jitter
     times = []
-    for i in range(2):
+    for i in range(3):
         t0 = time.perf_counter()
         img = run(i + 1)
         times.append(time.perf_counter() - t0)

@@ -154,7 +154,7 @@ def test_book_cover_routes_to_megamesh_and_matches():
     bit-identical to the megakernel's fold (same math, same draws)."""
     from opencl_ray_tracer_tpu.kernels.megakernel import render_pallas
     scene = ort.book_cover_scene()
-    cfg = ort.RenderConfig(width=64, height=48, spp=3, max_depth=8)
+    cfg = ort.RenderConfig(width=48, height=32, spp=2, max_depth=6)
     assert supports_mesh(scene, cfg)
     img_m = np.asarray(render_pallas_mesh(scene, cfg, seed=5,
                                           interpret=True))
@@ -167,7 +167,7 @@ def test_chunk_gated_sphere_fold_matches():
     SPHERE_GATE_MIN) must agree with the plain fold."""
     import opencl_ray_tracer_tpu.kernels.megamesh as mm
     scene = ort.book_cover_scene()
-    cfg = ort.RenderConfig(width=64, height=48, spp=2, max_depth=6)
+    cfg = ort.RenderConfig(width=48, height=32, spp=2, max_depth=5)
     plain = np.asarray(render_pallas_mesh(scene, cfg, seed=9,
                                           interpret=True))
     old = mm.SPHERE_GATE_MIN
