@@ -1425,7 +1425,8 @@ GRAD_LADDER_DENOM = 2
 
 def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
                           g_img, seed, sample_base, n_samples, flags,
-                          interpret, r0=None, denom=GRAD_LADDER_DENOM):
+                          interpret, r0=None, denom=GRAD_LADDER_DENOM,
+                          pix_base=None, full_height=None):
     """Two-level tail ladder for the sphere backward kernel.
 
     The uncapped kernel runs each TILE until its slowest lane exhausts
@@ -1433,7 +1434,10 @@ def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
     ~24 rounds while the mean LANE needs ~14 — half the fill+reverse
     cost is tail-lane idle.  Round 0 caps the round loop and emits the
     per-lane sample counters; survivors (pixel id, sample, pixel
-    cotangent) compact into a packed dispatch at 1/denom the lanes."""
+    cotangent) compact into a packed dispatch at 1/denom the lanes.
+
+    pix_base/full_height position a sharded row block exactly as in
+    _grad_tables_inner (the packed state carries GLOBAL pixel ids)."""
     h, w = g_img.shape[0], g_img.shape[1]
     n_pix = h * w
     n_slots = max(MIN_SLOTS, cfg.max_depth)
@@ -1441,10 +1445,11 @@ def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
     tile = tile_rows * LANES
     if r0 is None:
         r0 = max(2, int(GRAD_LADDER_R0_FACTOR * n_samples / n_slots))
+    base_kw = dict(pix_base=pix_base, full_height=full_height)
     gcam0, gsph0, s_out = _grad_tables_inner(
         cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img, seed,
         sample_base, n_samples, flags, interpret, max_rounds=r0,
-        emit_state=True)
+        emit_state=True, **base_kw)
     s_flat = s_out.reshape(-1)[:n_pix]
     spp_f = jnp.float32(n_samples)
     alive = s_flat < spp_f
@@ -1455,7 +1460,9 @@ def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
     idx = jnp.nonzero(alive, size=cap, fill_value=-1)[0]
     valid = idx >= 0
     safe = jnp.maximum(idx, 0)
-    pix = jnp.where(valid, idx, -1).astype(jnp.float32)
+    base_off = (jnp.int32(0) if pix_base is None
+                else jnp.asarray(pix_base, jnp.int32))
+    pix = jnp.where(valid, idx + base_off, -1).astype(jnp.float32)
     s0 = jnp.where(valid, s_flat[safe], spp_f)
     gl = g_img.reshape(n_pix, 3)[safe] * valid[:, None]
     state = jnp.stack([pix, s0, gl[:, 0], gl[:, 1], gl[:, 2]]
@@ -1463,12 +1470,12 @@ def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
     gcam1, gsph1 = _grad_tables_inner(
         cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img, seed,
         sample_base, n_samples, flags, interpret,
-        continuation_state=state)
+        continuation_state=state, **base_kw)
 
     def _fallback(_):
         return _grad_tables_inner(
             cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img, seed,
-            sample_base, n_samples, flags, interpret)
+            sample_base, n_samples, flags, interpret, **base_kw)
 
     return jax.lax.cond(ok, lambda _: (gcam0 + gcam1, gsph0 + gsph1),
                         _fallback, None)

@@ -271,7 +271,12 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
         out_specs=(P(), P()), check_vma=False)
     def _grad(cam_t, sph_t, g):
         ti = jax.lax.axis_index(TILE_AXIS)
-        gcam, gsph = _grad_tables_inner(
+        from ..kernels.megagrad import (GRAD_LADDER_MIN_SPP,
+                                        _grad_tables_laddered)
+        tables = (_grad_tables_laddered
+                  if cfg.spp >= GRAD_LADDER_MIN_SPP
+                  else _grad_tables_inner)
+        gcam, gsph = tables(
             cam_t, sph_t, n_spheres, sky_kind, cfg, g,
             jnp.int32(seed), jnp.int32(0), cfg.spp, flags,
             pallas_interpret,
@@ -418,7 +423,12 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
         out_specs=(P(), P()), check_vma=False)
     def _bwd(cam_t, sph_t, g, sd):
         ti = jax.lax.axis_index(TILE_AXIS)
-        gcam, gsph = _grad_tables_inner(
+        from ..kernels.megagrad import (GRAD_LADDER_MIN_SPP,
+                                        _grad_tables_laddered)
+        tables = (_grad_tables_laddered
+                  if gcfg.spp >= GRAD_LADDER_MIN_SPP
+                  else _grad_tables_inner)
+        gcam, gsph = tables(
             cam_t, sph_t, n_spheres, sky_kind, gcfg, g,
             jnp.int32(sd), jnp.int32(0), gcfg.spp, flags, interp,
             pix_base=ti * (rows_per * gcfg.width),

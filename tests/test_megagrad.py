@@ -271,6 +271,21 @@ def test_sphere_grad_ladder_matches_plain():
                                    rtol=1e-5, atol=1e-8, err_msg=tag)
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gs_p),
                                    rtol=1e-5, atol=1e-8, err_msg=tag)
+    # sharded row blocks: pix_base offsets flow into the packed state's
+    # GLOBAL pixel ids (the ladder runs per shard in render_grad_sharded)
+    g_lo, g_hi = g[:8], g[8:]
+    base_args = (cam, sph, 5, scene.sky.kind, cfg)
+    tail = (jnp.int32(3), jnp.int32(0), 8, flags, True)
+    gc_a, gs_a = _grad_tables_laddered(
+        *base_args, g_lo, *tail, r0=1, denom=2,
+        pix_base=jnp.int32(0), full_height=16)
+    gc_b, gs_b = _grad_tables_laddered(
+        *base_args, g_hi, *tail, r0=1, denom=2,
+        pix_base=jnp.int32(8 * 32), full_height=16)
+    np.testing.assert_allclose(np.asarray(gc_a + gc_b), np.asarray(gc_p),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gs_a + gs_b), np.asarray(gs_p),
+                               rtol=1e-4, atol=1e-7)
 
 
 def test_mesh_scene_grads_match_jnp():
