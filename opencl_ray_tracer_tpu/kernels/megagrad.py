@@ -74,7 +74,9 @@ megakernel.supports() up to GRAD_MAX_SPHERES spheres, gradient/constant
 sky.
 
 Round-4 TPU measurements (README 250spp/d50; do not re-learn):
-fill 0.26 s + reverse 0.40 s = 0.66 s; of the reverse, the per-slot
+uncapped fill 0.26 s + reverse 0.40 s = 0.66 s, cut to 0.537 s by the
+tail-compaction ladder (_grad_tables_laddered — half the uncapped cost
+was tiles idling on their slowest lane); of the reverse, the per-slot
 scalar-cotangent reduces + gacc folds are ~0.07 s and the camera vjp
 ~0.02 s (profile_skip flags).  (rows=32, slots=64) beat (32,50),
 (16,64), (16,128), (8,256).  Two NEGATIVE results, both measured:
