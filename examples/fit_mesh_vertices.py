@@ -60,7 +60,7 @@ def main():
                 scene.triangles,
                 p0=scene.triangles.p0 + s * direction))
 
-    s = 0.02                       # the unknown shear to recover (-> 0)
+    s0 = s = 0.02                  # the unknown shear to recover (-> 0)
     lr = 40.0                      # 1-D problem; plain gradient descent
     print(f"s0 = {s:.5f}")
     for it in range(args.steps):
@@ -71,7 +71,10 @@ def main():
         ds = float(jnp.sum(g.triangles.p0 * direction))
         s = s - lr * ds
         print(f"step {it:2d}: loss {float(loss):.3e}  s -> {s:+.5f}")
-    assert abs(s) < 0.02, s
+    # relative-improvement check: descent must at least halve the shear
+    # (an absolute threshold equal to s0 aborts on any no-progress step
+    # at this tiny spp/size — seed sensitive)
+    assert abs(s) < 0.5 * s0, s
     print(f"recovered shear |s| = {abs(s):.5f} (true 0)")
     return 0
 

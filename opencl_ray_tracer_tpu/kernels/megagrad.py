@@ -1441,6 +1441,18 @@ def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
     pix_base/full_height position a sharded row block exactly as in
     _grad_tables_inner (the packed state carries GLOBAL pixel ids)."""
     h, w = g_img.shape[0], g_img.shape[1]
+    # The packed continuation state carries GLOBAL pixel ids as f32
+    # (state rows are one dtype); ids >= 2^24 are not exactly
+    # representable and would silently corrupt survivor pixels (e.g. 8K:
+    # 7680*4320 = 33M pixels).  The global id is bounded by the FULL
+    # image's pixel count (static), so guard statically and run the
+    # uncapped kernel instead — correct at any size, just unladdered.
+    full_h = h if full_height is None else full_height
+    if w * full_h > 2 ** 24:
+        return _grad_tables_inner(
+            cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img, seed,
+            sample_base, n_samples, flags, interpret,
+            pix_base=pix_base, full_height=full_height)
     n_pix = h * w
     n_slots = max(MIN_SLOTS, cfg.max_depth)
     tile_rows = TILE_ROWS if n_spheres <= 32 else TILE_ROWS // 2

@@ -93,6 +93,16 @@ def ring_hit_fn_mm(scene_local: Scene, axis_name: str = TILE_AXIS,
     chunk = chunk or MM_CHUNK
     BIG = 3.0e38
 
+    # Built in FACTORY scope (not per hit_fn call): hit_fn runs inside the
+    # per-bounce/per-sample render loop, and XLA's loop-invariant hoisting
+    # out of lax.scan/while bodies is not guaranteed — closing over the
+    # tables makes the build-once contract structural.
+    feats0 = build_tri_features(scene_local, chunk=chunk)
+    leaves0 = dict(weights=feats0.weights, normal=feats0.normal,
+                   albedo=feats0.albedo, fuzz=feats0.fuzz,
+                   ior=feats0.ior, mat_type=feats0.mat_type,
+                   box_id=feats0.box_id)
+
     def hit_fn(o, d):
         sphere_scene = dataclasses.replace(
             scene_local, triangles=Triangles.empty(),
@@ -103,12 +113,6 @@ def ring_hit_fn_mm(scene_local: Scene, axis_name: str = TILE_AXIS,
                                 scene_local.boxes.box_max)
         else:
             box_hit = _jnp.zeros((o.shape[0], 1), bool)
-
-        feats0 = build_tri_features(scene_local, chunk=chunk)
-        leaves = dict(weights=feats0.weights, normal=feats0.normal,
-                      albedo=feats0.albedo, fuzz=feats0.fuzz,
-                      ior=feats0.ior, mat_type=feats0.mat_type,
-                      box_id=feats0.box_id)
 
         def body(carry, _):
             best, lv = carry
@@ -136,7 +140,7 @@ def ring_hit_fn_mm(scene_local: Scene, axis_name: str = TILE_AXIS,
             return (best, lv), None
 
         (best, _), _ = jax.lax.scan(
-            body, (best, leaves), None, length=n)
+            body, (best, leaves0), None, length=n)
         return best
 
     return hit_fn

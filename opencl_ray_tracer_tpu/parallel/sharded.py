@@ -168,7 +168,9 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
     mesh (the ICI all-reduce the reference has no analog for) and chained
     through the differentiable table builders once, replicated.  Scene
     scope = megagrad.supports_grad, or supports_grad_mesh for triangle
-    scenes (triangle geometry held fixed — zero triangle cotangents; see
+    scenes (triangle VERTEX cotangents are real — per-shard plane
+    cotangents psum-reduced then chained through the plane builder; the
+    per-triangle MATERIAL fields stay fixed, see supports_grad_mesh in
     kernels/megagrad.py).  Sample axis must be 1 (the wavefront kernel
     owns the whole sample loop).  Per-shard accumulation order differs
     from the single-chip kernel's sequential tile loop, so gradients

@@ -288,6 +288,32 @@ def test_sphere_grad_ladder_matches_plain():
                                rtol=1e-4, atol=1e-7)
 
 
+def test_sphere_grad_ladder_f32_pixel_id_guard():
+    """Global pixel ids ride the packed continuation state as f32; images
+    whose global pixel count can exceed 2^24 must statically fall back to
+    the uncapped kernel (identical results) instead of corrupting ids."""
+    from opencl_ray_tracer_tpu.kernels.megagrad import (
+        _grad_tables_inner, _grad_tables_laddered)
+    from opencl_ray_tracer_tpu.kernels.megakernel import (_camera_table,
+                                                          _sphere_table,
+                                                          specialize_flags)
+    scene = ort.readme_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=4, max_depth=4,
+                           nan_policy="zero")
+    flags = specialize_flags(scene)
+    cam, sph = _camera_table(scene), _sphere_table(scene)
+    g = jnp.ones((16, 32, 3), jnp.float32)
+    # a row block of a virtual image taller than 2^24/width pixels
+    big_h = 2 ** 24 // 32 + 64
+    kw = dict(pix_base=jnp.int32(32 * (big_h - 16)), full_height=big_h)
+    args = (cam, sph, 5, scene.sky.kind, cfg, g, jnp.int32(3),
+            jnp.int32(0), 4, flags, True)
+    gc_l, gs_l = _grad_tables_laddered(*args, r0=1, denom=2, **kw)
+    gc_p, gs_p = _grad_tables_inner(*args, **kw)
+    np.testing.assert_array_equal(np.asarray(gc_l), np.asarray(gc_p))
+    np.testing.assert_array_equal(np.asarray(gs_l), np.asarray(gs_p))
+
+
 def test_mesh_scene_grads_match_jnp():
     from opencl_ray_tracer_tpu.kernels.megagrad import supports_grad_mesh
     scene = _mesh_scene()
