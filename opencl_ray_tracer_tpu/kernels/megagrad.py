@@ -186,7 +186,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                       hdr_mode=None, fill_only: bool = False,
                       profile_skip: str = "", max_rounds=None,
                       emit_state: bool = False,
-                      continuation: bool = False):
+                      continuation: bool = False,
+                      fast_acc: bool = False):
     """Backward kernel body; all config static.  NaN policy is always
     "zero" (order-invariant; see module docstring).  n_slots = record-ring
     depth (>= max_depth for forward progress).
@@ -211,6 +212,23 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
     if mesh is not None:
         n_chunks, chunk, chunk_box_ids, n_boxes, mesh_mtype = mesh
         c4 = 4 * chunk
+    # fast_acc: the reverse sweep passes the WINNER's per-lane parameter
+    # planes (stacked array W) as the sphere vjp leaf instead of the
+    # table scalars; the transpose then returns cotangent PLANES and the
+    # per-sphere reduction is ONE one-hot MXU contraction per slot
+    # ((n_wf, tile) . (ns_pad, tile)^T) instead of O(fields x spheres)
+    # masked cross-lane scalar reduces — the dominant per-slot cost of
+    # the old reverse.  Mathematically identical (the dot computes
+    # exactly the sum the where-fold transpose produced), fp-order only.
+    w_fields = [F_CX, F_CY, F_CZ, F_R2, F_INVR, F_ALR, F_ALG, F_ALB]
+    if has_metal and has_fuzz:
+        w_fields.append(F_FUZZ)
+    if has_diel:
+        w_fields += [F_IOR, F_INVIOR]
+    w_fields = tuple(w_fields)
+    wmap = {f: p for p, f in enumerate(w_fields)}
+    n_wf = len(w_fields)
+    ns_pad = -(-n_spheres // 8) * 8
 
     def _intersect(sph_s, ox, oy, oz, dx, dy, dz, a, inv_a):
         """Closest-hit argmin over the sphere table (first-min ties, the
@@ -411,7 +429,7 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                       tr, tg, tb, active, term_allowed,
                       a0, a1, a2, a3, b0, b1,
                       win_code=None, mesh_rec=None, mesh_mat=None,
-                      hdr_sky=None):
+                      hdr_sky=None, w_params=None):
         """One bounce for the REVERSE sweep, restructured so its vjp
         carries O(1) tile-sized residuals in the sphere count.
 
@@ -473,11 +491,21 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             hit_sph = win_code >= 0.0
             best_i = jnp.maximum(win_code, 0.0).astype(jnp.int32)
 
-        def wgather(field, init=0.0):
-            v = jnp.full(shape, init, jnp.float32)
-            for i in range(n_spheres):
-                v = jnp.where(best_i == i, sv(field, i), v)
-            return v
+        if w_params is None:
+            def wgather(field, init=0.0):
+                v = jnp.full(shape, init, jnp.float32)
+                for i in range(n_spheres):
+                    v = jnp.where(best_i == i, sv(field, i), v)
+                return v
+        else:
+            # fast_acc: the winner's per-lane parameter planes are vjp
+            # LEAVES built by the caller with the identical select folds
+            # (same primal bitwise); fields a material class can't read
+            # fall back to the old folds' init constants.
+            def wgather(field, init=0.0):
+                if field in w_params:
+                    return w_params[field]
+                return jnp.full(shape, init, jnp.float32)
 
         w_cx = wgather(F_CX)
         w_cy = wgather(F_CY)
@@ -520,6 +548,11 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
 
     def kernel(*refs):
         shape = (tile_rows, LANES)
+        if fast_acc and hdr_mode != "emit":
+            gacc2 = refs[-1]        # (n_wf, ns_pad) fast-acc accumulator
+            refs = refs[:-1]
+        else:
+            gacc2 = None
         if mesh is not None:
             if hdr_mode == "emit":
                 # fill-only pass: dumps per-(pixel, sample) miss
@@ -553,8 +586,13 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             # packed tail dispatch (the sphere ladder): lanes carry
             # (pixel id, start sample, per-pixel cotangent) from the
             # capped round-0 dispatch; -1 pixel ids are padding
-            (off_ref, cam_ref, sph_ref, state_ref,
-             gcam_ref, gsph_ref, st, rec, gacc) = refs
+            if emit_state:
+                (off_ref, cam_ref, sph_ref, state_ref,
+                 gcam_ref, gsph_ref, s_out_ref, st, rec, gacc) = refs
+            else:
+                (off_ref, cam_ref, sph_ref, state_ref,
+                 gcam_ref, gsph_ref, st, rec, gacc) = refs
+                s_out_ref = None
             tile = pl.program_id(0)
             first_tile = tile == 0
             lin = state_ref[0].astype(jnp.int32)
@@ -621,6 +659,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             n_rows_acc = len(DIFF_FIELDS) + 1
             gacc[0, :n_rows_acc, :] = jnp.zeros((n_rows_acc, LANES),
                                                 jnp.float32)
+            if gacc2 is not None:
+                gacc2[...] = jnp.zeros((n_wf, LANES), jnp.float32)
 
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
@@ -639,9 +679,28 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             rows.append(crow)
             return jnp.concatenate(rows, axis=0)
 
+        def cheap6(s_u, slot):
+            """Timing probe (profile_skip only): one short integer mix
+            instead of two pcg4d hashes.  Outputs stay uniform-ish so
+            path statistics — and therefore the round count the timing
+            depends on — are preserved; results are wrong."""
+            h = (pix_u ^ (s_u * _U32(0x9E3779B9))
+                 + slot * _U32(0x85EBCA6B) + seed_arr)
+            h = h ^ (h >> _U32(15))
+            h = h * _U32(0x2C1B3C6D)
+            h = h ^ (h >> _U32(12))
+            from .megakernel import _to_f
+            outs = []
+            for mul in (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35,
+                        0x27D4EB2F, 0x165667B1, 0x9E3779B1):
+                outs.append(_to_f(h * _U32(mul)))
+            return tuple(outs)
+
         def draws(s_u, depth_f):
             slot = (jnp.zeros_like(pix_u) + _U32(4)
                     + depth_f.astype(jnp.int32).astype(_U32) * _U32(2))
+            if "draws" in profile_skip:
+                return cheap6(s_u, slot)
             a0, a1, a2, a3 = _uniform4(seed_arr, pix_u, s_u, slot)
             if has_fuzz or has_diel:
                 b0, b1, _, _ = _uniform4(seed_arr, pix_u, s_u,
@@ -683,6 +742,10 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             """Camera ray for per-lane sample counter s_f (f32 exact int);
             the counter RNG makes regeneration draws identical to a
             sequential run's."""
+            if "fray" in profile_skip:
+                u0, u1, u2, u3, _, _ = cheap6(
+                    s_to_u(s_f), jnp.zeros_like(pix_u))  # timing only
+                return camera_ray_fn(cam_s, u0, u1, u2, u3)
             s_u = s_to_u(s_f)
             u0, u1, u2, u3 = _uniform4(seed_arr, pix_u, s_u,
                                        jnp.zeros_like(pix_u))
@@ -872,12 +935,21 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                 0, tile_rows // MESH_ROW_BATCH, row, 0)
 
             if hdr_mode == "emit":
-                # safe default miss direction (0, 0, 1): samples that
-                # never miss keep it; their sky value is never consumed
+                # rows [0, 3*spp): miss directions — safe default
+                # (0, 0, 1): samples that never miss keep it; their sky
+                # value is never consumed.  rows [3*spp, 6*spp): miss
+                # THROUGHPUTS (zero default: a never-missing sample
+                # contributes nothing to the sky term or its cotangent).
+                # rows [6*spp, 6*spp+3): in-kernel non-sky contribution
+                # sum (emissive terminals) — with the jnp sky term this
+                # reconstructs the forward image, so the fused pipeline
+                # needs no separate forward render.
                 for _s in range(spp):
                     dsc[3 * _s + 0] = zero
                     dsc[3 * _s + 1] = zero
                     dsc[3 * _s + 2] = zero + 1.0
+                for _r in range(3 * spp, 6 * spp + 3):
+                    dsc[_r] = zero
             st[S_S] = jnp.where(pix_valid, 0.0, spp_f)
         elif continuation:
             # resume each lane at its carried sample counter; padding
@@ -961,9 +1033,13 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                         rec[R_TID, rows, :] = jnp.where(tri_win,
                                                         tri_sc[8], -1.0)
                     else:
-                        # record the miss direction of the CURRENT sample
-                        # (a path misses at most once — its terminal
-                        # bounce), static select fold over the window
+                        # record the miss direction AND throughput of the
+                        # CURRENT sample (a path misses at most once — its
+                        # terminal bounce), static select fold over the
+                        # window.  The throughput feeds the sky-image
+                        # cotangent (g_sky[texel] += thr * g_pixel) and
+                        # the fused-forward sky term (sum_s thr_s *
+                        # sky(dir_s)) in the jnp epilogue.
                         miss_now = active & (win_code == -1.0)
                         for _s in range(spp):
                             sel = miss_now & (s_f == jnp.float32(_s))
@@ -973,6 +1049,10 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                 sel, dy, dsc[3 * _s + 1])
                             dsc[3 * _s + 2] = jnp.where(
                                 sel, dz, dsc[3 * _s + 2])
+                            t_ = 3 * (spp + _s)
+                            dsc[t_ + 0] = jnp.where(sel, tr, dsc[t_ + 0])
+                            dsc[t_ + 1] = jnp.where(sel, tg, dsc[t_ + 1])
+                            dsc[t_ + 2] = jnp.where(sel, tb, dsc[t_ + 2])
                     mesh_over = (tri_win, tri_t,
                                  tri_sc[1], tri_sc[2], tri_sc[3],
                                  m_alr, m_alg, m_alb, m_fuzz, m_ior,
@@ -982,12 +1062,21 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 hdr_zero = ((zero, zero, zero)
                             if sky_kind == KIND_HDR else None)
                 (o2x, o2y, o2z, d2x, d2y, d2z, t2r, t2g, t2b,
-                 _, _, _, cont) = bounce_fn(
+                 fc_r, fc_g, fc_b, cont) = bounce_fn(
                     cam_s, sph_s, mtypes, ox, oy, oz, dx, dy, dz,
                     tr, tg, tb, active, term_allowed,
                     a0, a1, a2, a3, b0, b1, pre=pre, mesh_over=mesh_over,
                     hdr_sky=hdr_zero)
                 term = active & ~cont
+                if hdr_mode == "emit":
+                    # non-sky contribution sum (emissive terminals; the
+                    # sky rows are zero here so miss contributions are
+                    # exactly 0) — the in-kernel half of the fused
+                    # forward image, clamp/NaN-zero applied by bounce_fn
+                    e_ = 6 * spp
+                    dsc[e_ + 0] = dsc[e_ + 0] + jnp.where(term, fc_r, 0.0)
+                    dsc[e_ + 1] = dsc[e_ + 1] + jnp.where(term, fc_g, 0.0)
+                    dsc[e_ + 2] = dsc[e_ + 2] + jnp.where(term, fc_b, 0.0)
                 s_new = jnp.where(term, s_f + 1.0, s_f)
                 regen = term & (s_new < spp_f)
                 nox, noy, noz, ndx, ndy, ndz = fresh_ray(s_new)
@@ -1076,37 +1165,92 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 else:
                     hdr_sky_rec = None
 
+                if fast_acc:
+                    # winner-parameter planes built OUTSIDE the vjp with
+                    # the identical select folds (bitwise-same primals);
+                    # the stacked W is the sphere leaf, so cotangents
+                    # come back as per-lane PLANES (reduced below by one
+                    # one-hot MXU contraction instead of per-scalar
+                    # cross-lane reduces)
+                    best_i_r = jnp.maximum(win_rec, 0.0).astype(jnp.int32)
+
+                    def wfold(field):
+                        init = 1.0 if field in (F_INVR, F_INVIOR) else 0.0
+                        v = jnp.full(shape, init, jnp.float32)
+                        for i in range(n_spheres):
+                            v = jnp.where(best_i_r == i,
+                                          sph_s[fi[field]][i], v)
+                        return v
+
+                    W = jnp.stack([wfold(f_) for f_ in w_fields])
+
+                    def unpack_w(W_leaf):
+                        return {f_: W_leaf[p] for f_, p in wmap.items()}
+                else:
+                    W = None
                 if mesh is not None:
                     # the raw normal and plane constant are vjp leaves:
                     # their per-lane cotangents key the per-triangle
                     # plane-cotangent accumulation (vertex gradients)
-                    def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz,
-                          tr, tg, tb, rnx, rny, rnz, cpl):
-                        out = winner_bounce(
-                            cam_t, sph_t, mtypes, ox, oy, oz,
-                            dx, dy, dz, tr, tg, tb, alive,
-                            term_allowed, a0, a1, a2, a3, b0, b1,
-                            win_code=win_rec,
-                            mesh_rec=(rnx, rny, rnz, t_rec_r, cpl),
-                            mesh_mat=mesh_mat, hdr_sky=hdr_sky_rec)
-                        return out[:12]      # drop the bool cont
+                    if fast_acc:
+                        def f(cam_t, W_leaf, ox, oy, oz, dx, dy, dz,
+                              tr, tg, tb, rnx, rny, rnz, cpl):
+                            out = winner_bounce(
+                                cam_t, sph_s, mtypes, ox, oy, oz,
+                                dx, dy, dz, tr, tg, tb, alive,
+                                term_allowed, a0, a1, a2, a3, b0, b1,
+                                win_code=win_rec,
+                                mesh_rec=(rnx, rny, rnz, t_rec_r, cpl),
+                                mesh_mat=mesh_mat, hdr_sky=hdr_sky_rec,
+                                w_params=unpack_w(W_leaf))
+                            return out[:12]  # drop the bool cont
 
-                    _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
-                                        dx, dy, dz, tr, tg, tb,
-                                        rnx_r, rny_r, rnz_r, c_rec)
+                        _, vjp_fn = jax.vjp(f, cam_s, W, ox, oy, oz,
+                                            dx, dy, dz, tr, tg, tb,
+                                            rnx_r, rny_r, rnz_r, c_rec)
+                    else:
+                        def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz,
+                              tr, tg, tb, rnx, rny, rnz, cpl):
+                            out = winner_bounce(
+                                cam_t, sph_t, mtypes, ox, oy, oz,
+                                dx, dy, dz, tr, tg, tb, alive,
+                                term_allowed, a0, a1, a2, a3, b0, b1,
+                                win_code=win_rec,
+                                mesh_rec=(rnx, rny, rnz, t_rec_r, cpl),
+                                mesh_mat=mesh_mat, hdr_sky=hdr_sky_rec)
+                            return out[:12]  # drop the bool cont
+
+                        _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
+                                            dx, dy, dz, tr, tg, tb,
+                                            rnx_r, rny_r, rnz_r, c_rec)
                 else:
-                    def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz,
-                          tr, tg, tb):
-                        out = winner_bounce(
-                            cam_t, sph_t, mtypes, ox, oy, oz,
-                            dx, dy, dz, tr, tg, tb, alive,
-                            term_allowed, a0, a1, a2, a3, b0, b1,
-                            win_code=win_rec, mesh_rec=None,
-                            mesh_mat=None, hdr_sky=hdr_sky_rec)
-                        return out[:12]      # drop the bool cont
+                    if fast_acc:
+                        def f(cam_t, W_leaf, ox, oy, oz, dx, dy, dz,
+                              tr, tg, tb):
+                            out = winner_bounce(
+                                cam_t, sph_s, mtypes, ox, oy, oz,
+                                dx, dy, dz, tr, tg, tb, alive,
+                                term_allowed, a0, a1, a2, a3, b0, b1,
+                                win_code=win_rec, mesh_rec=None,
+                                mesh_mat=None, hdr_sky=hdr_sky_rec,
+                                w_params=unpack_w(W_leaf))
+                            return out[:12]  # drop the bool cont
 
-                    _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
-                                        dx, dy, dz, tr, tg, tb)
+                        _, vjp_fn = jax.vjp(f, cam_s, W, ox, oy, oz,
+                                            dx, dy, dz, tr, tg, tb)
+                    else:
+                        def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz,
+                              tr, tg, tb):
+                            out = winner_bounce(
+                                cam_t, sph_t, mtypes, ox, oy, oz,
+                                dx, dy, dz, tr, tg, tb, alive,
+                                term_allowed, a0, a1, a2, a3, b0, b1,
+                                win_code=win_rec, mesh_rec=None,
+                                mesh_mat=None, hdr_sky=hdr_sky_rec)
+                            return out[:12]  # drop the bool cont
+
+                        _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
+                                            dx, dy, dz, tr, tg, tb)
                 # Terminal records self-seed from (g_r, g_g, g_b) through
                 # the where(term, ...) transpose; mid-path records route
                 # the state adjoint; invalid records pass it through.
@@ -1115,11 +1259,15 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                         st[A_TR], st[A_TG], st[A_TB],
                         g_r, g_g, g_b)
                 if mesh is not None:
-                    (gc_s, gs_s, aox, aoy, aoz, adx, ady, adz,
+                    (gc_s, gs_w, aox, aoy, aoz, adx, ady, adz,
                      atr, atg, atb, g_nx, g_ny, g_nz, g_cc) = vjp_fn(cots)
                 else:
-                    (gc_s, gs_s, aox, aoy, aoz, adx, ady, adz,
+                    (gc_s, gs_w, aox, aoy, aoz, adx, ady, adz,
                      atr, atg, atb) = vjp_fn(cots)
+                if fast_acc:
+                    dW, gs_s = gs_w, None
+                else:
+                    dW, gs_s = None, gs_w
 
                 if mesh is not None and n_chunks > 0:
                     # ---- per-triangle plane-cotangent accumulation ----
@@ -1221,9 +1369,37 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 st[A_TB] = jnp.where(is_k0, 0.0, atb)
 
                 if "acc" not in profile_skip:
-                    gacc[0, :n_rows_acc, :] = (
-                        gacc[0, :n_rows_acc, :]
-                        + scalars_to_rows(gc_s, gs_s))
+                    if fast_acc:
+                        # one one-hot contraction per slot: sphere j's
+                        # cotangent for field row p = sum over lanes with
+                        # recorded winner j of dW[p] — exactly what the
+                        # old where-fold transpose reduced, as an MXU dot
+                        # (dim1 x dim1 contraction, the _acc_tri pattern)
+                        n_flat = tile_rows * LANES
+                        win_flat = win_rec.reshape(1, n_flat)
+                        oh = (jax.lax.broadcasted_iota(
+                            jnp.int32, (ns_pad, n_flat), 0)
+                            .astype(jnp.float32) == win_flat
+                        ).astype(jnp.float32)
+                        dW2 = dW.reshape(n_wf, n_flat)
+                        blk = jax.lax.dot_general(
+                            dW2, oh, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        # full-lane accumulator; only cols < ns_pad are
+                        # touched (Mosaic can't widen (1, ns_pad) ->
+                        # (1, LANES) by concat at flush — measured
+                        # "offset mismatch on non-concat dimension")
+                        gacc2[:, 0:ns_pad] = gacc2[:, 0:ns_pad] + blk
+                        crow0 = jnp.zeros((1, LANES), jnp.float32)
+                        for p, cslot in enumerate(CAM_SLOTS):
+                            crow0 = jnp.where(lane_i == cslot,
+                                              crow0 + gc_s[p], crow0)
+                        gacc[0, n_rows_acc - 1:n_rows_acc, :] = (
+                            gacc[0, n_rows_acc - 1:n_rows_acc, :] + crow0)
+                    else:
+                        gacc[0, :n_rows_acc, :] = (
+                            gacc[0, :n_rows_acc, :]
+                            + scalars_to_rows(gc_s, gs_s))
                 if "cam" not in profile_skip:
                     crow = jnp.zeros((1, LANES), jnp.float32)
                     for p, cslot in enumerate(CAM_SLOTS):
@@ -1253,16 +1429,43 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         # flush: accumulator rows -> table-shaped outputs (concatenate,
         # not .at[].set — scatters don't lower in Mosaic)
         acc = gacc[0, :n_rows_acc, :]
-        fpos = {f: p for p, f in enumerate(DIFF_FIELDS)}
-        gs_out = jnp.concatenate(
-            [acc[fpos[f]:fpos[f] + 1, :] if f in fpos
-             else jnp.zeros((1, LANES), jnp.float32)
-             for f in range(N_FIELDS)], axis=0)
+        if fast_acc:
+            acc2 = gacc2[...]
+            zrow = jnp.zeros((1, LANES), jnp.float32)
+
+            def srow(f):
+                if f not in wmap:
+                    return zrow
+                return acc2[wmap[f]:wmap[f] + 1, :]
+
+            gs_out = jnp.concatenate([srow(f) for f in range(N_FIELDS)],
+                                     axis=0)
+        else:
+            fpos = {f: p for p, f in enumerate(DIFF_FIELDS)}
+            gs_out = jnp.concatenate(
+                [acc[fpos[f]:fpos[f] + 1, :] if f in fpos
+                 else jnp.zeros((1, LANES), jnp.float32)
+                 for f in range(N_FIELDS)], axis=0)
         gsph_ref[...] = gsph_ref[...] + gs_out
         gcam_ref[...] = (gcam_ref[...]
                          + acc[n_rows_acc - 1:n_rows_acc, :])
 
     return kernel
+
+
+# fast_acc (one-hot MXU cotangent accumulation — see _make_grad_kernel)
+# is on by default; the flag exists for A/B measurement and as an escape
+# hatch.  Scope: any sphere count the kernel supports (<= 128 lanes).
+GRAD_FAST_ACC = True
+
+
+def _w_layout(n_spheres, has_metal, has_diel, has_fuzz):
+    """(n_wf, LANES) of the fast-acc accumulator — row count mirrors the
+    w_fields construction in _make_grad_kernel (full-lane width: Mosaic
+    can't widen a narrow row by concat at flush)."""
+    n_wf = 8 + (1 if (has_metal and has_fuzz) else 0) \
+        + (2 if has_diel else 0)
+    return n_wf, LANES
 
 
 def supports_grad(scene: Scene, cfg: RenderConfig) -> bool:
@@ -1302,7 +1505,7 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
                        pix_base=None, full_height=None,
                        fill_only: bool = False, profile_skip: str = "",
                        max_rounds=None, emit_state: bool = False,
-                       continuation_state=None):
+                       continuation_state=None, fast_acc=None):
     """pix_base (traced i32) positions this g_img block's first pixel in
     the GLOBAL linear pixel index (sharded row blocks; camera math uses
     full_height = the global image height).
@@ -1328,6 +1531,8 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
     # at rows=32 overflow the 16 MB scoped limit by 0.24 MB).
     tile_rows = TILE_ROWS if n_spheres <= 32 else TILE_ROWS // 2
     tile = tile_rows * LANES
+    if fast_acc is None:
+        fast_acc = GRAD_FAST_ACC and n_spheres <= LANES
     kernel = _make_grad_kernel(
         n_spheres=n_spheres, width=w, height=h,
         spp=n_samples, max_depth=cfg.max_depth, t_min=cfg.t_min,
@@ -1337,13 +1542,18 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
         tile_rows=tile_rows, fill_only=fill_only,
         profile_skip=profile_skip, max_rounds=max_rounds,
         emit_state=emit_state,
-        continuation=continuation_state is not None)
+        continuation=continuation_state is not None,
+        fast_acc=fast_acc)
 
     scratch = [
         pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
         pltpu.VMEM((N_REC, n_slots * tile_rows, LANES), jnp.float32),
         pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
     ]
+    if fast_acc:
+        scratch.append(pltpu.VMEM(
+            _w_layout(n_spheres, has_metal, has_diel, has_fuzz),
+            jnp.float32))
     off = jnp.stack([jnp.int32(0) if pix_base is None else
                      jnp.asarray(pix_base, jnp.int32), jnp.int32(seed),
                      jnp.int32(sample_base)]).reshape(1, 3)
@@ -1364,20 +1574,27 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
     if continuation_state is not None:
         n2_rows = continuation_state.shape[1]
         assert n2_rows % tile_rows == 0
-        gcam, gsph = pl.pallas_call(
+        c_shape = [jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32)]
+        c_specs = list(table_outs)
+        if emit_state:
+            c_shape.append(jax.ShapeDtypeStruct((n2_rows, LANES),
+                                                jnp.float32))
+            c_specs.append(pl.BlockSpec((tile_rows, LANES),
+                                        lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM))
+        outs = pl.pallas_call(
             kernel,
-            out_shape=[jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-                       jax.ShapeDtypeStruct((N_FIELDS, LANES),
-                                            jnp.float32)],
+            out_shape=c_shape,
             grid=(n2_rows // tile_rows,),
             in_specs=table_specs + [
                 pl.BlockSpec((5, tile_rows, LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)],
-            out_specs=table_outs,
+            out_specs=c_specs,
             scratch_shapes=scratch,
             interpret=interpret,
         )(off, cam_tab, sph_tab, continuation_state)
-        return gcam, gsph
+        return outs if emit_state else (outs[0], outs[1])
 
     n_tiles = -(-n_pix // tile)
     pad = n_tiles * tile - n_pix
@@ -1423,23 +1640,36 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
 GRAD_LADDER_MIN_SPP = 64
 GRAD_LADDER_R0_FACTOR = 4.1
 GRAD_LADDER_DENOM = 2
+# Capped-level schedule: (rounds_factor, denom) per level; the round cap
+# of level k is max(2, int(factor * spp / n_slots)) and its survivors
+# compact into n_padded/denom lanes.  The final dispatch after the last
+# level runs uncapped.  Swept on TPU (README 250spp/d50, caps in rounds):
+# r4 two-level (16,2) = 0.538 s; (16,2)+(10,8) = 0.497; (12,2)+(10,8) =
+# 0.481 (best); (12,2)+(8,4)+(8,16) = 0.481; (10,2)+... trips the
+# overflow fallback (survivors at 10 rounds exceed half the lanes).
+GRAD_LADDER_SCHEDULE = ((3.1, 2), (2.6, 8))
 
 
 def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
                           g_img, seed, sample_base, n_samples, flags,
                           interpret, r0=None, denom=GRAD_LADDER_DENOM,
-                          pix_base=None, full_height=None):
-    """Two-level tail ladder for the sphere backward kernel.
+                          levels=None, pix_base=None, full_height=None):
+    """Multi-level tail-compaction ladder for the sphere backward kernel.
 
     The uncapped kernel runs each TILE until its slowest lane exhausts
     spp; measured on the README 250spp/d50 config the mean tile needs
     ~24 rounds while the mean LANE needs ~14 — half the fill+reverse
-    cost is tail-lane idle.  Round 0 caps the round loop and emits the
-    per-lane sample counters; survivors (pixel id, sample, pixel
-    cotangent) compact into a packed dispatch at 1/denom the lanes.
+    cost is tail-lane idle.  Each capped level bounds the round loop and
+    emits per-lane sample counters; survivors (pixel id, sample, pixel
+    cotangent) compact into a packed dispatch at 1/denom the lanes; the
+    final dispatch runs uncapped.  A capacity overflow at ANY level
+    falls back to the plain uncapped kernel via lax.cond (jit-sound).
 
-    pix_base/full_height position a sharded row block exactly as in
-    _grad_tables_inner (the packed state carries GLOBAL pixel ids)."""
+    levels: tuple of (round_cap, denom) per capped level; default from
+    GRAD_LADDER_SCHEDULE (r0/denom override a single level, the round-4
+    interface the tests use).  pix_base/full_height position a sharded
+    row block exactly as in _grad_tables_inner (the packed state carries
+    GLOBAL pixel ids)."""
     h, w = g_img.shape[0], g_img.shape[1]
     # The packed continuation state carries GLOBAL pixel ids as f32
     # (state rows are one dtype); ids >= 2^24 are not exactly
@@ -1457,42 +1687,65 @@ def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
     n_slots = max(MIN_SLOTS, cfg.max_depth)
     tile_rows = TILE_ROWS if n_spheres <= 32 else TILE_ROWS // 2
     tile = tile_rows * LANES
-    if r0 is None:
-        r0 = max(2, int(GRAD_LADDER_R0_FACTOR * n_samples / n_slots))
+    if levels is None:
+        if r0 is not None:
+            levels = ((r0, denom),)
+        else:
+            levels = tuple(
+                (max(2, int(rf * n_samples / n_slots)), d)
+                for rf, d in GRAD_LADDER_SCHEDULE)
     base_kw = dict(pix_base=pix_base, full_height=full_height)
-    gcam0, gsph0, s_out = _grad_tables_inner(
-        cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img, seed,
-        sample_base, n_samples, flags, interpret, max_rounds=r0,
-        emit_state=True, **base_kw)
-    s_flat = s_out.reshape(-1)[:n_pix]
+    base_args = (cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img, seed,
+                 sample_base, n_samples, flags, interpret)
     spp_f = jnp.float32(n_samples)
-    alive = s_flat < spp_f
-    n_alive = jnp.sum(alive.astype(jnp.int32))
     n_padded = -(-n_pix // tile) * tile
-    cap = max(tile, (n_padded // denom // tile) * tile)
-    ok = n_alive <= cap
-    idx = jnp.nonzero(alive, size=cap, fill_value=-1)[0]
-    valid = idx >= 0
-    safe = jnp.maximum(idx, 0)
     base_off = (jnp.int32(0) if pix_base is None
                 else jnp.asarray(pix_base, jnp.int32))
-    pix = jnp.where(valid, idx + base_off, -1).astype(jnp.float32)
-    s0 = jnp.where(valid, s_flat[safe], spp_f)
-    gl = g_img.reshape(n_pix, 3)[safe] * valid[:, None]
-    state = jnp.stack([pix, s0, gl[:, 0], gl[:, 1], gl[:, 2]]
-                      ).reshape(5, cap // LANES, LANES)
-    gcam1, gsph1 = _grad_tables_inner(
-        cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img, seed,
-        sample_base, n_samples, flags, interpret,
-        continuation_state=state, **base_kw)
+
+    gcam = jnp.zeros((1, LANES), jnp.float32)
+    gsph = jnp.zeros((N_FIELDS, LANES), jnp.float32)
+    ok = jnp.bool_(True)
+    state = None
+    dom_pix = dom_g = dom_valid = None
+    for cap_rounds, dnm in levels:
+        if state is None:
+            gc, gs, s_out = _grad_tables_inner(
+                *base_args, max_rounds=cap_rounds, emit_state=True,
+                **base_kw)
+            dom_s = s_out.reshape(-1)[:n_pix]
+            dom_pix = jnp.arange(n_pix, dtype=jnp.int32) + base_off
+            dom_g = g_img.reshape(n_pix, 3)
+            dom_valid = jnp.ones((n_pix,), bool)
+        else:
+            gc, gs, s_out = _grad_tables_inner(
+                *base_args, max_rounds=cap_rounds, emit_state=True,
+                continuation_state=state, **base_kw)
+            dom_s = s_out.reshape(-1)
+        gcam = gcam + gc
+        gsph = gsph + gs
+        cap_k = max(tile, (n_padded // dnm // tile) * tile)
+        alive = dom_valid & (dom_s < spp_f)
+        ok = ok & (jnp.sum(alive.astype(jnp.int32)) <= cap_k)
+        idx = jnp.nonzero(alive, size=cap_k, fill_value=-1)[0]
+        valid = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        pix_f = jnp.where(valid, dom_pix[safe], -1).astype(jnp.float32)
+        s0 = jnp.where(valid, dom_s[safe], spp_f)
+        gl = dom_g[safe] * valid[:, None]
+        state = jnp.stack([pix_f, s0, gl[:, 0], gl[:, 1], gl[:, 2]]
+                          ).reshape(5, cap_k // LANES, LANES)
+        dom_pix = jnp.where(valid, dom_pix[safe], -1)
+        dom_g = gl
+        dom_valid = valid
+    gc, gs = _grad_tables_inner(*base_args, continuation_state=state,
+                                **base_kw)
+    gcam = gcam + gc
+    gsph = gsph + gs
 
     def _fallback(_):
-        return _grad_tables_inner(
-            cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img, seed,
-            sample_base, n_samples, flags, interpret, **base_kw)
+        return _grad_tables_inner(*base_args, **base_kw)
 
-    return jax.lax.cond(ok, lambda _: (gcam0 + gcam1, gsph0 + gsph1),
-                        _fallback, None)
+    return jax.lax.cond(ok, lambda _: (gcam, gsph), _fallback, None)
 
 
 def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
@@ -1512,13 +1765,14 @@ def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
 
     n_slots = max(MIN_SLOTS, cfg.max_depth)
     tile_rows = MESH_TILE_ROWS
+    fast_acc = GRAD_FAST_ACC and n_spheres <= LANES
     kernel = _make_grad_kernel(
         n_spheres=n_spheres, width=w, height=h,
         spp=n_samples, max_depth=cfg.max_depth, t_min=cfg.t_min,
         sky_kind=sky_kind, clamp_samples=cfg.clamp_samples,
         has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
         has_fuzz=has_fuzz, has_aperture=has_aperture, n_slots=n_slots,
-        tile_rows=tile_rows, mesh=mesh)
+        tile_rows=tile_rows, mesh=mesh, fast_acc=fast_acc)
 
     n_tr = -(-block_rows // tile_rows)
     n_tc = -(-w // LANES)
@@ -1562,7 +1816,9 @@ def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
                        jnp.float32),
             pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
             pltpu.VMEM((N_TRI_SC, tile_rows, LANES), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM(
+            _w_layout(n_spheres, has_metal, has_diel, has_fuzz),
+            jnp.float32)] if fast_acc else []),
         interpret=interpret,
     )(jnp.stack([row0, jnp.int32(seed), jnp.int32(sample_base),
                  row0 + jnp.int32(block_rows)]).reshape(1, 4),
@@ -1579,14 +1835,23 @@ GRAD_HDR_SPP_CHUNK = 8
 def _grad_tables_hdr_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
                             n_spheres, sky, cfg, g_img, seed,
                             sample_base, n_samples, flags, interpret,
-                            row_base=None, full_height=None):
+                            row_base=None, full_height=None,
+                            want_sky_cot: bool = True):
     """One HDR sample window: emit pass (fill-only kernel dumps the
-    per-(pixel, sample) miss directions), nearest-texel sky lookup in jnp
-    (XLA's native gathers — exactly the values the reverse needs, and
-    exactly constant: the lookup has zero direction-derivative), consume
-    pass (fill + reverse with the sky rows as VMEM input).  The emit pass
-    replays the SAME fill code, so its directions match the consume
-    pass's replay bitwise."""
+    per-(pixel, sample) miss directions + throughputs and the non-sky
+    contribution sum), nearest-texel sky lookup in jnp (XLA's native
+    gathers — exactly the values the reverse needs, and exactly constant:
+    the lookup has zero direction-derivative), consume pass (fill +
+    reverse with the sky rows as VMEM input).  The emit pass replays the
+    SAME fill code, so its directions match the consume pass's replay
+    bitwise.
+
+    Returns (gcam, gsph, gtri, g_sky): g_sky is the sky-IMAGE cotangent
+    of this window (the per-texel environment-map gradient — scatter-add
+    of thr * g_pixel at each miss sample's texel, exactly the jnp VJP's
+    interior derivative; the nearest-texel index has zero direction-
+    derivative so this is the complete sky.image cotangent).  Zeros when
+    want_sky_cot=False."""
     from ..scene import sky_colour
 
     has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags[:5]
@@ -1604,6 +1869,8 @@ def _grad_tables_hdr_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
     off = jnp.stack([row0, jnp.int32(seed), jnp.int32(sample_base),
                      row0 + jnp.int32(block_rows)]).reshape(1, 4)
 
+    fast_acc = GRAD_FAST_ACC and n_spheres <= LANES
+
     def mk(hdr_mode):
         return _make_grad_kernel(
             n_spheres=n_spheres, width=w, height=h,
@@ -1612,7 +1879,7 @@ def _grad_tables_hdr_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
             has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
             has_fuzz=has_fuzz, has_aperture=has_aperture,
             n_slots=n_slots, tile_rows=tile_rows, mesh=mesh,
-            hdr_mode=hdr_mode)
+            hdr_mode=hdr_mode, fast_acc=fast_acc)
 
     base_specs = [
         pl.BlockSpec((1, 4), lambda i, j: (0, 0),
@@ -1632,27 +1899,62 @@ def _grad_tables_hdr_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
                             lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
 
-    # ---- pass 1: emit miss directions ----
-    dirs = pl.pallas_call(
+    # ---- pass 1: emit miss directions + throughputs (+ non-sky sum) ----
+    n_emit = 6 * n_samples + 3
+    emit_spec = pl.BlockSpec((n_emit, tile_rows, LANES),
+                             lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM)
+    emit_out = pl.pallas_call(
         mk("emit"),
-        out_shape=jax.ShapeDtypeStruct((3 * n_samples, hp, wp),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_emit, hp, wp), jnp.float32),
         grid=(n_tr, n_tc),
         in_specs=base_specs,
-        out_specs=sky_spec,
+        out_specs=emit_spec,
         scratch_shapes=[
             pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
             pltpu.VMEM((N_TRI_SC, tile_rows, LANES), jnp.float32),
-            pltpu.VMEM((3 * n_samples, tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((n_emit, tile_rows, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(off, cam_tab, sph_tab, w_flat, aabb, boxes)
+    dirs = emit_out[:3 * n_samples]
+    thrs = emit_out[3 * n_samples:6 * n_samples]
 
     # ---- sky lookup (constant values; zero direction-derivative) ----
     d_v = dirs.reshape(n_samples, 3, hp, wp).transpose(0, 2, 3, 1)
     sk = sky_colour(sky, d_v)                     # (spp_c, hp, wp, 3)
     sky_rows = sk.transpose(0, 3, 1, 2).reshape(3 * n_samples, hp, wp)
     sky_rows = jax.lax.stop_gradient(sky_rows)
+
+    # ---- sky-image cotangent (the per-texel environment gradient) ----
+    if want_sky_cot:
+        sh, sw = sky.image.shape[0], sky.image.shape[1]
+        from ..scene.sky import direction_to_uv
+        u, v = direction_to_uv(jax.lax.stop_gradient(d_v))
+        tx = jnp.clip((u * sw).astype(jnp.int32), 0, sw - 1)
+        ty = jnp.clip((v * sh).astype(jnp.int32), 0, sh - 1)
+        thr_v = (thrs.reshape(n_samples, 3, hp, wp)
+                 .transpose(0, 2, 3, 1))           # (spp, hp, wp, 3)
+        gpix = jnp.pad(g_img, ((0, hp - block_rows), (0, wp - w),
+                               (0, 0)))
+        # thr is zero for samples that never missed, so only genuine
+        # miss samples contribute (and padding pixels carry zero g)
+        contrib = thr_v * gpix[None]
+        if cfg.clamp_samples:
+            # the per-sample clamp's subgradient at the contribution
+            # thr*sky: 1 inside, 0 above, and jax's min-at-tie 0.5 AT
+            # exactly 1.0 (tone-mapped texels can round to 1.0f even
+            # though the map is < 1 mathematically) — matches the jnp
+            # VJP and the consume pass's own clamp transpose
+            x = jax.lax.stop_gradient(thr_v * sk)
+            cf = jnp.where(x < 1.0, 1.0, jnp.where(x > 1.0, 0.0, 0.5))
+            cf = jnp.where(jnp.isnan(x), 0.0, cf)
+            contrib = contrib * cf
+        g_sky = jnp.zeros((sh, sw, 3), jnp.float32).at[
+            ty.reshape(-1), tx.reshape(-1)].add(
+            contrib.reshape(-1, 3))
+    else:
+        g_sky = jnp.zeros_like(sky.image)
 
     # ---- pass 2: fill + reverse with the sky rows resident ----
     g = jnp.pad(g_img, ((0, hp - block_rows), (0, wp - w), (0, 0)))
@@ -1679,11 +1981,13 @@ def _grad_tables_hdr_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
                        jnp.float32),
             pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
             pltpu.VMEM((N_TRI_SC, tile_rows, LANES), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM(
+            _w_layout(n_spheres, has_metal, has_diel, has_fuzz),
+            jnp.float32)] if fast_acc else []),
         interpret=interpret,
     )(off, cam_tab, sph_tab, w_flat, aabb, boxes, sky_rows,
       g[0], g[1], g[2])
-    return gcam, gsph, gtri
+    return gcam, gsph, gtri, g_sky
 
 
 def supports_grad_hdr(scene: Scene, cfg: RenderConfig) -> bool:
@@ -1691,8 +1995,11 @@ def supports_grad_hdr(scene: Scene, cfg: RenderConfig) -> bool:
     conditions (tone-mapped sky < 1 and albedos <= 1 so the per-sample
     clamp is a no-op for sky contributions; uniform mesh material behind
     a box when triangles exist) up to GRAD_MAX_SPHERES spheres.  The sky
-    IMAGE and triangle material fields are held fixed (zero cotangents);
-    triangle VERTEX cotangents are real (see supports_grad_mesh)."""
+    IMAGE cotangent is real (per-texel scatter of thr * g_pixel from the
+    emit pass — the complete environment-map gradient, since the
+    nearest-texel index has zero direction-derivative); triangle VERTEX
+    cotangents are real (see supports_grad_mesh); per-triangle MATERIAL
+    fields are held fixed."""
     from .megamesh import supports_mesh
     return (scene.sky.kind == KIND_HDR
             and scene.spheres.count <= GRAD_MAX_SPHERES
@@ -1837,21 +2144,29 @@ def _grad_scene_hdr_jit(scene, cfg, g_img, seed, flags, m_type, plan,
     gcam = jnp.zeros((1, LANES), jnp.float32)
     gsph = jnp.zeros((N_FIELDS, LANES), jnp.float32)
     gtri = jnp.zeros((4, max(1, n_chunks) * chunk), jnp.float32)
+    g_sky = jnp.zeros_like(scene.sky.image)
     # sample windows bound the per-tile dirs/sky VMEM rows; window sums
     # are exact (the estimator is sample-linear under the "zero" policy)
     for s_base in range(0, cfg.spp, GRAD_HDR_SPP_CHUNK):
         spp_c = min(GRAD_HDR_SPP_CHUNK, cfg.spp - s_base)
-        gc, gs, gt = _grad_tables_hdr_window(
+        gc, gs, gt, gk = _grad_tables_hdr_window(
             cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
             scene.spheres.count, scene.sky, cfg, g_scaled, seed,
             jnp.int32(s_base), spp_c, flags, interpret)
         gcam = gcam + gc
         gsph = gsph + gs
         gtri = gtri + gt
+        g_sky = g_sky + gk
     (s_bar,) = build_vjp((gcam, gsph))
     if scene.triangles.count > 0 and n_chunks > 0:
         s_bar = _add_tri_cots(s_bar, scene, plan, gtri)
-    return s_bar
+    # per-texel environment-map cotangent (real since round 5; the
+    # nearest-texel lookup has zero direction-derivative, so this is the
+    # complete sky.image gradient, matching the jnp VJP)
+    import dataclasses
+    sky_bar = dataclasses.replace(s_bar.sky,
+                                  image=s_bar.sky.image + g_sky)
+    return dataclasses.replace(s_bar, sky=sky_bar)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "flags", "m_type",

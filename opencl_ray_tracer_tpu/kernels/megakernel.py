@@ -279,7 +279,8 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                  sky_kind: int, clamp_samples: bool, nan_policy: str,
                  has_metal: bool, has_diel: bool, has_emit: bool,
                  has_fuzz: bool, has_aperture: bool,
-                 sphere_groups=None, sphere_spec=None):
+                 sphere_groups=None, sphere_spec=None,
+                 mean: bool = True, with_acc0: bool = False):
     """Build the kernel body with all config baked in statically.
 
     sphere_groups: optional tuple of tuples of (permuted) sphere indices —
@@ -288,15 +289,26 @@ def _make_kernel(n_spheres: int, width: int, height: int,
     specialization from _sphere_fold_spec — enables the register-fold
     winner-attribute path (fold only spheres whose value differs from the
     scene's majority value; material classes resolved at trace time).
+    mean=False emits the raw radiance SUM over the spp window (checkpoint
+    accumulation); with_acc0 seeds the running sum from 3 input planes so
+    windowed renders reproduce the running-sum NaN policy of an
+    uninterrupted run bit-for-bit (the policy reads the sum over ALL
+    prior samples, gpu_kernel.cl:640-642).  The sample window's global
+    base rides off_ref[0, 2] (traced).
     """
-    def kernel(off_ref, cam_ref, sph_ref, grp_ref, r_ref, g_ref, b_ref,
-               st, acc, *rest):
+    def kernel(off_ref, cam_ref, sph_ref, grp_ref, *rest):
+        if with_acc0:
+            (r0_ref, g0_ref, b0_ref, r_ref, g_ref, b_ref,
+             st, acc, *rest) = rest
+        else:
+            r_ref, g_ref, b_ref, st, acc, *rest = rest
         sph_sc = rest[0] if sphere_groups is not None else None
         tile = pl.program_id(0)
         shape = (TILE_ROWS, LANES)
-        # off_ref row 0: [global pixel offset, seed] — both traced so
-        # neither a new seed nor a shard offset forces a recompile; global
-        # pixel ids keep RNG streams and camera uv shard-invariant.
+        # off_ref row 0: [global pixel offset, seed, sample base] — all
+        # traced so neither a new seed, a shard offset, nor a resume
+        # window forces a recompile; global pixel ids keep RNG streams
+        # and camera uv shard-invariant.
         lin = (off_ref[0, 0] + tile * TILE
                + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
                + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
@@ -308,13 +320,14 @@ def _make_kernel(n_spheres: int, width: int, height: int,
             return cam_ref[0, i]
 
         seed_arr = jnp.zeros(shape, _U32) + off_ref[0, 1].astype(_U32)
+        sample_base = off_ref[0, 2]
         zero = jnp.zeros(shape, jnp.float32)
         one = zero + 1.0
 
         def camera_ray(sample_f):
             """Camera ray for per-lane sample ids (f32).  GetRay
             (gpu_kernel.cl:559-578)."""
-            s_u = sample_f.astype(jnp.int32).astype(_U32)
+            s_u = (sample_f.astype(jnp.int32) + sample_base).astype(_U32)
             u0, u1, u2, u3 = _uniform4(seed_arr, pix_u, s_u,
                                        jnp.zeros_like(pix_u))
             uu = (px + u0) * jnp.float32(1.0 / width)
@@ -352,9 +365,14 @@ def _make_kernel(n_spheres: int, width: int, height: int,
         st[S_RB] = zero
         st[S_SAMPLE] = zero
         st[S_DEPTH] = zero
-        acc[0] = zero
-        acc[1] = zero
-        acc[2] = zero
+        if with_acc0:
+            acc[0] = r0_ref[...]
+            acc[1] = g0_ref[...]
+            acc[2] = b0_ref[...]
+        else:
+            acc[0] = zero
+            acc[1] = zero
+            acc[2] = zero
 
         spp_f = jnp.float32(spp)
         max_iters = spp * max_depth + 1
@@ -377,7 +395,7 @@ def _make_kernel(n_spheres: int, width: int, height: int,
             sample_f = st[S_SAMPLE]
             depth_f = st[S_DEPTH]
             active = sample_f < spp_f
-            s_u = sample_f.astype(jnp.int32).astype(_U32)
+            s_u = (sample_f.astype(jnp.int32) + sample_base).astype(_U32)
 
             # ---- closest hit over all spheres (HitSphere,
             # gpu_kernel.cl:455-487; closest-so-far fold :358-372) ----
@@ -583,10 +601,15 @@ def _make_kernel(n_spheres: int, width: int, height: int,
 
         jax.lax.while_loop(cond, body, (jnp.int32(0), True))
 
-        inv = jnp.float32(1.0 / spp)
-        r_ref[:] = acc[0] * inv
-        g_ref[:] = acc[1] * inv
-        b_ref[:] = acc[2] * inv
+        if mean:
+            inv = jnp.float32(1.0 / spp)
+            r_ref[:] = acc[0] * inv
+            g_ref[:] = acc[1] * inv
+            b_ref[:] = acc[2] * inv
+        else:
+            r_ref[:] = acc[0]
+            g_ref[:] = acc[1]
+            b_ref[:] = acc[2]
 
     return kernel
 
@@ -655,19 +678,26 @@ def _sphere_group_aabbs(scene: Scene, perm, groups):
 
 def render_pallas(scene: Scene, cfg: RenderConfig, seed: int = 0,
                   interpret: bool = False, rows: int | None = None,
-                  pix_offset=0):
+                  pix_offset=0, sample_offset=0, mean: bool = True,
+                  acc0=None):
     """Forward render via the megakernel; ((rows or H), W, 3) f32.
 
     Semantics match tracer.render (same RNG streams, same estimator quirks);
     forward only.  interpret=True runs the Pallas interpreter (CPU testing).
     rows/pix_offset render a row block starting at global pixel pix_offset
     (traced scalar ok) — the shard_map entry point (parallel/sharded.py).
+    sample_offset/mean/acc0 select a global sample window and raw-sum
+    output seeded with acc0 — kernel-rate checkpoint/resume
+    (parallel/checkpoint.py): window chunks reproduce a monolithic render
+    bit-for-bit under every nan_policy (render_rows acc0 semantics).
     """
     assert supports(scene, cfg), "megakernel: unsupported scene"
     flags = specialize_flags(scene)
     return _render_pallas_jit(scene, cfg, jnp.int32(seed), interpret, flags,
                               rows if rows is not None else cfg.height,
-                              jnp.int32(pix_offset))
+                              jnp.int32(pix_offset),
+                              sample_offset=jnp.int32(sample_offset),
+                              mean=mean, acc0=acc0)
 
 
 # Grouped-fold threshold.  Measured on v5e (book-cover, 100 spheres,
@@ -856,14 +886,17 @@ def specialize_flags(scene: Scene, conservative: bool = False):
 
 
 def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
-                        flags, rows, pix_offset):
+                        flags, rows, pix_offset, sample_offset=0,
+                        mean: bool = True, acc0=None):
     """Trace-safe megakernel call: flags from specialize_flags, scene may
-    be traced (used inside shard_map, parallel/sharded.py)."""
+    be traced (used inside shard_map, parallel/sharded.py).
+    sample_offset/mean/acc0: sample-window raw-sum mode (render_pallas)."""
     (has_metal, has_diel, has_emit, has_fuzz, has_aperture, plan,
      spec) = flags
     n_pix = cfg.width * rows
     n_tiles = -(-n_pix // TILE)
     perm, groups = plan if plan is not None else (None, None)
+    with_acc0 = acc0 is not None
 
     kernel = _make_kernel(
         n_spheres=scene.spheres.count, width=cfg.width, height=cfg.height,
@@ -872,7 +905,8 @@ def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
         clamp_samples=cfg.clamp_samples, nan_policy=cfg.nan_policy,
         has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
         has_fuzz=has_fuzz, has_aperture=has_aperture,
-        sphere_groups=groups, sphere_spec=spec)
+        sphere_groups=groups, sphere_spec=spec,
+        mean=mean, with_acc0=with_acc0)
 
     if plan is not None:
         grp_tab = _sphere_group_aabbs(scene, perm, groups)
@@ -888,35 +922,44 @@ def render_pallas_inner(scene: Scene, cfg: RenderConfig, seed, interpret,
         scratch_shapes.append(
             pltpu.VMEM((2, TILE_ROWS, LANES), jnp.float32))
 
+    plane_spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 3), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # group AABBs
+    ]
+    args = [jnp.stack([jnp.int32(pix_offset), jnp.int32(seed),
+                       jnp.int32(sample_offset)]).reshape(1, 3),
+            _camera_table(scene), _sphere_table(scene, perm), grp_tab]
+    if with_acc0:
+        a0 = jnp.asarray(acc0, jnp.float32).reshape(n_pix, 3)
+        pad = n_tiles * TILE - n_pix
+        if pad:
+            a0 = jnp.pad(a0, ((0, pad), (0, 0)))
+        a0 = a0.T.reshape(3, n_tiles * TILE_ROWS, LANES)
+        in_specs += [plane_spec] * 3
+        args += [a0[0], a0[1], a0[2]]
+
     out_shape = jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES),
                                      jnp.float32)
     r, g, b = pl.pallas_call(
         kernel,
         out_shape=[out_shape, out_shape, out_shape],
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # group AABBs
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(3)
-        ],
+        in_specs=in_specs,
+        out_specs=[plane_spec for _ in range(3)],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(jnp.stack([jnp.int32(pix_offset),
-                 jnp.int32(seed)]).reshape(1, 2),
-      _camera_table(scene), _sphere_table(scene, perm), grp_tab)
+    )(*args)
 
     img = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     return img[:n_pix].reshape(rows, cfg.width, 3)
 
 
 _render_pallas_jit = functools.partial(jax.jit, static_argnames=(
-    "cfg", "interpret", "flags", "rows"))(render_pallas_inner)
+    "cfg", "interpret", "flags", "rows", "mean"))(render_pallas_inner)

@@ -983,7 +983,8 @@ def _mesh_tables(scene: Scene, plan):
 
 def render_pallas_mesh(scene: Scene, cfg: RenderConfig, seed: int = 0,
                        interpret: bool = False, rows: int | None = None,
-                       pix_offset=0, schedule: tuple | None = None):
+                       pix_offset=0, schedule: tuple | None = None,
+                       sample_offset=0, mean: bool = True, acc0=None):
     """Forward render via the fused mesh/HDR megakernel.
 
     Same contract as megakernel.render_pallas: ((rows or H), W, 3) f32 mean
@@ -994,6 +995,12 @@ def render_pallas_mesh(scene: Scene, cfg: RenderConfig, seed: int = 0,
     survivors exceed the next round's capacity (ok=False — capacities
     carry ~2x margins, so essentially never), the render falls back to a
     single uncapped full-grid round, which is always sound.
+
+    sample_offset/mean/acc0: global sample window + raw-sum output seeded
+    with acc0 — kernel-rate checkpoint/resume (parallel/checkpoint.py).
+    Window sums equal the monolithic render's up to fp addition order
+    (the compaction ladder already accumulates out of sample order; the
+    running-sum NaN policy keeps its per-dispatch scope either way).
     """
     assert supports_mesh(scene, cfg), "megamesh: unsupported scene"
     from ..tracer.clusters import plan_for_scene
@@ -1002,7 +1009,9 @@ def render_pallas_mesh(scene: Scene, cfg: RenderConfig, seed: int = 0,
     rows = rows if rows is not None else cfg.height
     img, ok = _render_mesh_jit(scene, cfg, jnp.int32(seed), interpret,
                                flags, plan, rows, jnp.int32(pix_offset),
-                               schedule, True)
+                               schedule, True,
+                               sample_offset=jnp.int32(sample_offset),
+                               mean=mean, acc0=acc0)
     if not bool(ok):
         import warnings
         warnings.warn(
@@ -1014,14 +1023,16 @@ def render_pallas_mesh(scene: Scene, cfg: RenderConfig, seed: int = 0,
         img, _ = _render_mesh_jit(
             scene, cfg, jnp.int32(seed), interpret, flags, plan, rows,
             jnp.int32(pix_offset),
-            ((cfg.spp * cfg.max_depth + 1, 1),), True)
+            ((cfg.spp * cfg.max_depth + 1, 1),), True,
+            sample_offset=jnp.int32(sample_offset), mean=mean, acc0=acc0)
     return img
 
 
 def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
                              interpret, flags, plan, rows, pix_offset,
                              schedule=None, return_ok=False,
-                             count_fires=False):
+                             count_fires=False, sample_offset=0,
+                             mean: bool = True, acc0=None):
     """Trace-safe fused-kernel call (flags/plan precomputed concretely).
 
     pix_offset must be a whole-row offset (a multiple of width) — the
@@ -1031,6 +1042,8 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
     OVERRIDES return_ok and always returns the 3-tuple
     ``(img, ok, fire_rounds)`` where fire_rounds is a list of per-round
     ``(tiles, 6)`` int32 counter dumps (fired-chunk / iteration tallies).
+    sample_offset/mean/acc0: sample-window raw-sum checkpoint mode
+    (render_pallas_mesh).
     """
     (has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type,
      sph_spec, sph_plan) = flags
@@ -1046,6 +1059,9 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
     row_offset = pix_offset // cfg.width
 
     acc = jnp.zeros((3, hp, wp), jnp.float32)
+    if acc0 is not None:
+        a0 = jnp.asarray(acc0, jnp.float32).reshape(rows, cfg.width, 3)
+        acc = acc.at[:, :rows, :cfg.width].set(a0.transpose(2, 0, 1))
     sky_sum = jnp.zeros((hp, wp, 3), jnp.float32)
     spp_step = HDR_SPP_CHUNK if hdr else cfg.spp
     ok = jnp.bool_(True)
@@ -1085,7 +1101,8 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
                 ok = jnp.logical_and(ok, ok_r)
             out = list(_dispatch(
                 scene, cfg, seed, interpret, flags, rows, row_offset,
-                s_base, spp_c, n_tr, n_tc, w_flat, aabb, boxes, n_chunks,
+                jnp.int32(sample_offset) + s_base, spp_c, n_tr, n_tc,
+                w_flat, aabb, boxes, n_chunks,
                 chunk, bids, n_boxes, cam_tab, sph_tab, hdr,
                 iter_cap=min(cap, bound), emit_state=not last,
                 state_in=state2, count_fires=count_fires))
@@ -1123,7 +1140,8 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
     img = acc.transpose(1, 2, 0)
     if hdr:
         img = img + sky_sum
-    img = img * jnp.float32(1.0 / cfg.spp)
+    if mean:
+        img = img * jnp.float32(1.0 / cfg.spp)
     img = img[:rows, :cfg.width]
     if count_fires:
         return img, ok, fire_rounds
@@ -1251,7 +1269,7 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
 
 _render_mesh_jit = functools.partial(jax.jit, static_argnames=(
     "cfg", "interpret", "flags", "plan", "rows", "schedule",
-    "return_ok", "count_fires"))(render_pallas_mesh_inner)
+    "return_ok", "count_fires", "mean"))(render_pallas_mesh_inner)
 
 
 def render_pallas_mesh_safe(scene: Scene, cfg: RenderConfig, seed,

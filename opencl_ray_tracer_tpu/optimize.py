@@ -117,15 +117,19 @@ def fit_scene(
         from .scene.sky import KIND_HDR
         # triangle VERTEX gradients are real in the mesh/HDR grad kernels
         # (plane-cotangent accumulation; megagrad._tri_vertex_cots), so
-        # fitting triangles.p0/p1/p2 is in scope.  Triangle MATERIAL
-        # fields and the HDR sky image are still held fixed — those
-        # parameters keep the jnp path.
+        # fitting triangles.p0/p1/p2 is in scope, and so is the HDR
+        # sky IMAGE (per-texel cotangents from the emit pass since round
+        # 5).  Triangle MATERIAL fields are still held fixed — those
+        # parameters keep the jnp path.  Note: the clamp-no-op condition
+        # (supports_mesh: sky < 1) is checked on init_scene; a sky.image
+        # fit that drives texels past 1 leaves kernel scope.
         fits_tri_mat = any(
             p.startswith("triangles.")
             and not p.startswith(("triangles.p0", "triangles.p1",
                                   "triangles.p2"))
             for p in param_paths)
-        fits_sky = any(p.startswith("sky.") for p in param_paths)
+        fits_sky = any(p.startswith("sky.")
+                       and p != "sky.image" for p in param_paths)
         if init_scene.sky.kind == KIND_HDR:
             in_scope = (supports_grad_hdr(init_scene, dcfg)
                         and not fits_tri_mat and not fits_sky)

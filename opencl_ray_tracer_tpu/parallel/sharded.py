@@ -228,9 +228,10 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
             shard_map, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(),
                       P(TILE_AXIS, None, None)),
-            out_specs=(P(), P(), P()), check_vma=False)
+            out_specs=(P(), P(), P(), P()), check_vma=False)
         def _grad(cam_t, sph_t, w_t, aabb_t, box_t, sky_img, g):
             ti = jax.lax.axis_index(TILE_AXIS)
+            g_sky = jnp.zeros_like(sky_img)
             if is_hdr:
                 sky_obj = Sky.hdr(sky_img)
                 gcam = jnp.zeros((1, 128), jnp.float32)
@@ -239,7 +240,7 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
                                  jnp.float32)
                 for s_base in range(0, cfg.spp, GRAD_HDR_SPP_CHUNK):
                     spp_c = min(GRAD_HDR_SPP_CHUNK, cfg.spp - s_base)
-                    gc, gs, gt = _grad_tables_hdr_window(
+                    gc, gs, gt, gk = _grad_tables_hdr_window(
                         cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
                         n_spheres, sky_obj, cfg, g, jnp.int32(seed),
                         jnp.int32(s_base), spp_c, flags, pallas_interpret,
@@ -247,6 +248,7 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
                     gcam = gcam + gc
                     gsph = gsph + gs
                     gtri = gtri + gt
+                    g_sky = g_sky + gk
             else:
                 gcam, gsph, gtri = _grad_tables_mesh_inner(
                     cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
@@ -256,15 +258,22 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
             gcam = jax.lax.psum(gcam, (TILE_AXIS, SAMPLE_AXIS))
             gsph = jax.lax.psum(gsph, (TILE_AXIS, SAMPLE_AXIS))
             gtri = jax.lax.psum(gtri, (TILE_AXIS, SAMPLE_AXIS))
-            return gcam, gsph, gtri
+            g_sky = jax.lax.psum(g_sky, (TILE_AXIS, SAMPLE_AXIS))
+            return gcam, gsph, gtri, g_sky
 
-        gcam, gsph, gtri = _grad(cam_tab, sph_tab, w_flat, aabb, boxes,
-                                 jax.lax.stop_gradient(scene.sky.image),
-                                 g_img / jnp.float32(cfg.spp))
+        gcam, gsph, gtri, g_sky = _grad(
+            cam_tab, sph_tab, w_flat, aabb, boxes,
+            jax.lax.stop_gradient(scene.sky.image),
+            g_img / jnp.float32(cfg.spp))
         (s_bar,) = build_vjp((gcam, gsph))
         if has_tris and n_chunks > 0:
             from ..kernels.megagrad import _add_tri_cots
             s_bar = _add_tri_cots(s_bar, scene, plan, gtri)
+        if is_hdr:
+            import dataclasses as _dc
+            s_bar = _dc.replace(
+                s_bar, sky=_dc.replace(s_bar.sky,
+                                       image=s_bar.sky.image + g_sky))
         return loss, img, s_bar
 
     @functools.partial(
@@ -443,9 +452,10 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(),
                   P(TILE_AXIS, None, None), P()),
-        out_specs=(P(), P(), P()), check_vma=False)
+        out_specs=(P(), P(), P(), P()), check_vma=False)
     def _bwd_mesh(cam_t, sph_t, w_t, aabb_t, box_t, sky_img, g, sd):
         ti = jax.lax.axis_index(TILE_AXIS)
+        g_sky = jnp.zeros_like(sky_img)
         if is_hdr:
             sky_obj = Sky.hdr(sky_img)
             gcam = jnp.zeros((1, 128), jnp.float32)
@@ -453,7 +463,7 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
             gtri = jnp.zeros((4, max(1, n_chunks) * chunk), jnp.float32)
             for s_base in range(0, gcfg.spp, GRAD_HDR_SPP_CHUNK):
                 spp_c = min(GRAD_HDR_SPP_CHUNK, gcfg.spp - s_base)
-                gc, gs, gt = _grad_tables_hdr_window(
+                gc, gs, gt, gk = _grad_tables_hdr_window(
                     cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
                     n_spheres, sky_obj, gcfg, g, jnp.int32(sd),
                     jnp.int32(s_base), spp_c, flags, interp,
@@ -461,6 +471,7 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
                 gcam = gcam + gc
                 gsph = gsph + gs
                 gtri = gtri + gt
+                g_sky = g_sky + gk
         else:
             gcam, gsph, gtri = _grad_tables_mesh_inner(
                 cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
@@ -470,7 +481,8 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
         gcam = jax.lax.psum(gcam, (TILE_AXIS, SAMPLE_AXIS))
         gsph = jax.lax.psum(gsph, (TILE_AXIS, SAMPLE_AXIS))
         gtri = jax.lax.psum(gtri, (TILE_AXIS, SAMPLE_AXIS))
-        return gcam, gsph, gtri
+        g_sky = jax.lax.psum(g_sky, (TILE_AXIS, SAMPLE_AXIS))
+        return gcam, gsph, gtri, g_sky
 
     if has_tris:
         w_flat0, aabb0, boxes0, n_chunks, chunk, bids = _mesh_tables(
@@ -489,7 +501,7 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
         if has_tris:
             w_flat, aabb, boxes, _, _, _ = _mesh_tables(
                 jax.lax.stop_gradient(scene), plan)
-            gcam, gsph, gtri = _bwd_mesh(
+            gcam, gsph, gtri, g_sky = _bwd_mesh(
                 cam_tab, sph_tab, w_flat, aabb, boxes,
                 jax.lax.stop_gradient(scene.sky.image),
                 g_img / jnp.float32(gcfg.spp), step_seed)
@@ -500,6 +512,11 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
         if has_tris and scene.triangles.count > 0 and n_chunks > 0:
             from ..kernels.megagrad import _add_tri_cots
             s_bar = _add_tri_cots(s_bar, scene, plan, gtri)
+        if is_hdr:
+            import dataclasses as _dc
+            s_bar = _dc.replace(
+                s_bar, sky=_dc.replace(s_bar.sky,
+                                       image=s_bar.sky.image + g_sky))
         _, ins_vjp = jax.vjp(insert_params, params)
         (p_bar,) = ins_vjp(s_bar)
         updates, opt_state = optimizer.update(p_bar, opt_state, params)

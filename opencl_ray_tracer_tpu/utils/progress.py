@@ -31,6 +31,13 @@ class ProgressReporter:
         now = time.time()
         if (self.image_path and mean_img is not None
                 and (now - self._last_dump >= self.every_s or done >= total)):
-            from ..io import tonemap_u8, write_png
-            write_png(self.image_path, tonemap_u8(mean_img))
+            if self.image_path.endswith(".bmp"):
+                # the reference's exact progress contract: a BMP any
+                # poller (or its Win32 window) can reload every second
+                # (main.cpp:263-265, window_utilities.cpp:97-99)
+                from ..io import write_bmp
+                write_bmp(self.image_path, mean_img)
+            else:
+                from ..io import tonemap_u8, write_png
+                write_png(self.image_path, tonemap_u8(mean_img))
             self._last_dump = now

@@ -125,3 +125,21 @@ def test_progressive_render_matches_plain():
     np.testing.assert_allclose(prog, plain, atol=1e-6)
     assert calls[-1][0] == calls[-1][1] == 24
     assert len(calls) >= 2
+
+
+def test_progress_reporter_bmp(tmp_path):
+    """--progress-image foo.bmp mirrors the reference's BMP-polling
+    progress contract exactly (main.cpp:263-265): the reporter writes a
+    valid BMP (not PNG) when the path ends in .bmp."""
+    import io as _io
+
+    import numpy as np
+
+    from opencl_ray_tracer_tpu.utils import ProgressReporter
+
+    p = str(tmp_path / "prog.bmp")
+    rep = ProgressReporter(p, every_s=0.0, stream=_io.StringIO())
+    img = np.zeros((4, 8, 3), np.float32)
+    rep(1, 2, img)
+    data = open(p, "rb").read()
+    assert data[:2] == b"BM"

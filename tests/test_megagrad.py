@@ -406,8 +406,13 @@ def test_hdr_sphere_scene_grads_match_jnp():
         assert float(np.abs(np.asarray(getattr(g.spheres, name))
                             - np.asarray(getattr(gref.spheres, name))
                             ).max()) < 1e-6, name
-    # the sky IMAGE is held fixed on the kernel path
-    assert float(np.abs(np.asarray(g.sky.image)).max()) == 0.0
+    # the sky IMAGE cotangent is real since round 5 (per-texel scatter
+    # of thr * g_pixel from the emit pass) and must match the jnp VJP's
+    # environment-map gradient texel-for-texel
+    sa = np.asarray(g.sky.image)
+    sb = np.asarray(gref.sky.image)
+    assert float(np.abs(sb).max()) > 1e-6         # real signal
+    assert float(np.abs(sa - sb).max()) / float(np.abs(sb).max()) < 1e-4
 
 
 def test_hdr_mesh_scene_multi_window():
@@ -431,6 +436,17 @@ def test_hdr_mesh_scene_multi_window():
     assert float(np.abs(a - b).max()) / float(np.abs(b).max()) < 1e-4
     # vertex cotangents flow through the HDR consume pass too
     _assert_tri_close(g, gref, 5e-4)
+    # sky-image cotangents accumulate correctly across windows.  Mesh
+    # silhouettes admit cross-backend discrete flips (a 1-ulp t
+    # difference reroutes one sample's miss to a different texel), so
+    # the tolerance is a few flipped-sample quanta, not fp noise.
+    sa = np.asarray(g.sky.image)
+    sb = np.asarray(gref.sky.image)
+    assert float(np.abs(sb).max()) > 1e-6
+    assert float(np.abs(sa - sb).max()) / float(np.abs(sb).max()) < 5e-3
+    # but the bulk of texels agree to fp noise
+    agree = (np.abs(sa - sb) <= 1e-6).mean()
+    assert agree > 0.999, agree
 
 
 def test_fit_scene_triangle_vertices_pallas():
@@ -451,4 +467,24 @@ def test_fit_scene_triangle_vertices_pallas():
     assert history[-1] < history[0], history
     moved = np.abs(np.asarray(fitted.triangles.p0)
                    - np.asarray(bad.triangles.p0)).max()
+    assert moved > 0.0
+
+
+def test_fit_scene_sky_image_pallas():
+    """fit_scene can fit the HDR environment map (sky.image) with
+    grad_backend='pallas': per-texel sky cotangents from the emit pass
+    drive a real descent (VERDICT r4 item 3)."""
+    scene = dc.replace(ort.readme_scene(), sky=_hdr_sky())
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=4,
+                           nan_policy="zero")
+    target = ort.render(scene, cfg, seed=7)
+    bad = dc.replace(scene, sky=dc.replace(
+        scene.sky, image=jnp.clip(scene.sky.image * 0.7, 0.0, 0.999)))
+    fitted, history = ort.fit_scene(
+        target, bad, cfg, ["sky.image"], steps=4,
+        learning_rate=2e-2, grad_backend="pallas", pallas_interpret=True,
+        seed=7, sample_new_noise=False)
+    assert history[-1] < history[0], history
+    moved = np.abs(np.asarray(fitted.sky.image)
+                   - np.asarray(bad.sky.image)).max()
     assert moved > 0.0

@@ -85,3 +85,24 @@ def test_grouped_sphere_fold_matches():
         _compare(ort.book_cover_scene(), cfg, frac=0.01)
     finally:
         mk.SPHERE_GROUP_MIN = old
+
+
+def test_sample_window_raw_sum_matches_monolithic():
+    """Windowed raw-sum renders (sample_offset + acc0 + mean=False — the
+    kernel-rate checkpoint path) reproduce the monolithic kernel render
+    bit-for-bit, including under the running-sum NaN policy (acc0 seeds
+    the policy's running sum across windows)."""
+    scene = ort.readme_scene()
+    for policy in ("zero", "running_sum"):
+        cfg = ort.RenderConfig(width=32, height=16, spp=6, max_depth=4,
+                               nan_policy=policy)
+        mono = np.asarray(render_pallas(scene, cfg, seed=3,
+                                        interpret=True))
+        acc = np.zeros((16, 32, 3), np.float32)
+        for s0, n in ((0, 2), (2, 3), (5, 1)):
+            acc = np.asarray(render_pallas(
+                scene, cfg.replace(spp=n), seed=3, interpret=True,
+                sample_offset=s0, mean=False, acc0=acc))
+        # the kernel's mean epilogue multiplies by the f32 reciprocal
+        np.testing.assert_array_equal(acc * np.float32(1.0 / cfg.spp),
+                                      mono)

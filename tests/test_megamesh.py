@@ -295,3 +295,21 @@ def test_small_sphere_high_spp_ladder():
     img_j = np.asarray(ort.render(scene, cfg, seed=0))
     assert abs(img_m.mean() - img_j.mean()) < 1.0 / cfg.spp
     assert not np.isnan(img_m).any()
+
+
+def test_mesh_sample_window_raw_sum():
+    """Windowed raw-sum mesh renders (sample_offset + acc0 + mean=False —
+    the kernel-rate checkpoint path) sum to the monolithic mesh render
+    (fp addition order differs: the compaction ladder already accumulates
+    out of sample order)."""
+    scene = _mesh_scene()
+    cfg = ort.RenderConfig(width=48, height=32, spp=4, max_depth=4,
+                           nan_policy="zero")
+    mono = np.asarray(render_pallas_mesh(scene, cfg, seed=2,
+                                         interpret=True))
+    acc = np.zeros((32, 48, 3), np.float32)
+    for s0, n in ((0, 1), (1, 2), (3, 1)):
+        acc = np.asarray(render_pallas_mesh(
+            scene, cfg.replace(spp=n), seed=2, interpret=True,
+            sample_offset=s0, mean=False, acc0=acc))
+    np.testing.assert_allclose(acc / cfg.spp, mono, atol=2e-6)

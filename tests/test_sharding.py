@@ -537,3 +537,25 @@ def test_sharded_pallas_train_step_hdr_template():
     g_p = np.asarray(params["albedo"] - pp["albedo"])
     scale = max(float(np.abs(g_j).max()), 1e-6)
     assert float(np.abs(g_p - g_j).max()) / scale < 1e-3
+
+
+def test_checkpoint_kernel_rate_matches_and_resumes(tmp_path):
+    """render_checkpointed routes megakernel-scope scenes through the
+    Pallas raw-sum/acc0 window mode (kernel-rate checkpointing): chunked
+    + resumed runs must reproduce the monolithic kernel render to the
+    mean-epilogue ulp, under the running-sum NaN policy."""
+    from opencl_ray_tracer_tpu.kernels.megakernel import render_pallas
+    scene = ort.readme_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=6, max_depth=4,
+                           nan_policy="running_sum", backend="pallas")
+    mono = np.asarray(render_pallas(scene, cfg, seed=1, interpret=True))
+    ck = par.render_checkpointed(scene, cfg, str(tmp_path / "k.npz"),
+                                 seed=1, chunk_spp=2)
+    np.testing.assert_allclose(np.asarray(ck), mono, atol=1e-6)
+    # interrupted at 2 samples, then resumed
+    par.render_checkpointed(scene, cfg.replace(spp=2),
+                            str(tmp_path / "k2.npz"), seed=1, chunk_spp=2)
+    resumed = par.render_checkpointed(scene, cfg,
+                                      str(tmp_path / "k2.npz"),
+                                      seed=1, chunk_spp=2)
+    np.testing.assert_allclose(np.asarray(resumed), mono, atol=1e-6)
