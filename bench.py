@@ -248,6 +248,34 @@ def main() -> int:
     if r:
         extra.update(r)
 
+    # ---- book-cover fwd+bwd (100-sphere scene gradients at the headline
+    # config through the laddered backward megakernel) ----
+    def book_cover_grad_section():
+        from opencl_ray_tracer_tpu.tracer.render import render_grad_sampled
+
+        bc = ort.book_cover_scene(aspect_ratio=width / height)
+        loss_fn = lambda im: jnp.mean(im ** 2)
+
+        def run_g(seed):
+            _, _, grads = render_grad_sampled(bc, cfg, loss_fn, seed=seed,
+                                              grad_backend="pallas")
+            jax.block_until_ready(grads)
+            return grads
+
+        grads = run_g(51)
+        t0 = time.perf_counter()
+        grads = run_g(52)
+        dt_g = time.perf_counter() - t0
+        gmax = float(jnp.max(jnp.abs(grads.spheres.albedo)))
+        assert gmax > 0, "zero gradients in book-cover fwd+bwd"
+        print(f"# book-cover fwd+bwd (100 spheres, 250spp/d50): "
+              f"{dt_g:.3f} s", file=sys.stderr)
+        return {"book_cover_fwd_bwd_seconds": round(dt_g, 3)}
+
+    r = _budgeted("book-cover fwd+bwd measurement", book_cover_grad_section)
+    if r:
+        extra.update(r)
+
     # re-emit the same headline with the full extras (drivers taking the
     # last JSON line get this one; the value is identical either way)
     _emit(samples_per_s, extra)

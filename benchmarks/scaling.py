@@ -51,19 +51,51 @@ def _phases(args, scene):
     mesh = par.make_mesh(n_tile=1, n_sample=1, devices=devices[:1])
 
     use_pl = args.pallas
-    if use_pl:
+    ring = args.scene == "ring"
+    if args.scene == "mesh":
+        from opencl_ray_tracer_tpu.kernels.megamesh import (
+            render_pallas_mesh_inner, specialize_mesh_flags,
+            supports_mesh)
+        from opencl_ray_tracer_tpu.kernels.megamesh import \
+            MESH_CHUNK as _MC
+        from opencl_ray_tracer_tpu.tracer.clusters import plan_for_scene
+        assert supports_mesh(scene, cfg)
+        use_pl = True
+        mflags = specialize_mesh_flags(scene)
+        mplan = plan_for_scene(scene, _MC)
+        interp = jax.default_backend() != "tpu"
+        bare = jax.jit(lambda sd: render_pallas_mesh_inner(
+            scene, cfg, sd, interp, mflags, mplan, cfg.height, 0))
+        shard = jax.jit(lambda sd: par.render_sharded(
+            scene, cfg, mesh, sd, use_pallas=True,
+            pallas_interpret=interp))
+    elif ring:
+        # the MXU geometry ring on ONE device: ppermute degenerates to
+        # an identity rotation, so (shard - bare) isolates the ring's
+        # dispatch + fold + feature-rotation overhead minus real ICI
+        from opencl_ray_tracer_tpu.tracer.mesh_accel import \
+            make_mm_hit_fn
+        hf = make_mm_hit_fn(scene, cfg.t_min,
+                            expected_rays=cfg.height * cfg.width)
+        bare = jax.jit(lambda sd: render_rows(
+            scene, cfg, jnp.int32(0), cfg.height, jnp.uint32(sd),
+            hit_fn=hf))
+        shard = jax.jit(lambda sd: par.render_sharded(
+            scene, cfg, mesh, sd, geometry_ring=True))
+    elif use_pl:
         from opencl_ray_tracer_tpu.kernels.megakernel import (
             render_pallas_inner, specialize_flags, supports)
         assert supports(scene, cfg)
         flags = specialize_flags(scene)
         bare = jax.jit(lambda sd: render_pallas_inner(
             scene, cfg, sd, False, flags, cfg.height, 0))
+        shard = jax.jit(lambda sd: par.render_sharded(
+            scene, cfg, mesh, sd, use_pallas=True))
     else:
         bare = jax.jit(lambda sd: render_rows(
             scene, cfg, jnp.int32(0), cfg.height, jnp.uint32(sd)))
-
-    shard = jax.jit(lambda sd: par.render_sharded(
-        scene, cfg, mesh, sd, use_pallas=use_pl))
+        shard = jax.jit(lambda sd: par.render_sharded(
+            scene, cfg, mesh, sd, use_pallas=False))
 
     from functools import partial
 
@@ -74,7 +106,16 @@ def _phases(args, scene):
     @partial(shard_map, mesh=mesh, in_specs=(P(),),
              out_specs=P(), check_vma=False)
     def with_psum(sd):
-        if use_pl:
+        if args.scene == "mesh":
+            img = render_pallas_mesh_inner(scene, cfg, sd,
+                                           jax.default_backend() != "tpu",
+                                           mflags, mplan, cfg.height, 0)
+        elif ring:
+            from opencl_ray_tracer_tpu.parallel.ring import ring_hit_fn_mm
+            rhf = ring_hit_fn_mm(scene, par.TILE_AXIS)
+            img = render_rows(scene, cfg, jnp.int32(0), cfg.height,
+                              jnp.uint32(sd), hit_fn=rhf)
+        elif use_pl:
             from opencl_ray_tracer_tpu.kernels.megakernel import \
                 render_pallas_inner
             img = render_pallas_inner(scene, cfg, sd, False, flags,
@@ -99,12 +140,23 @@ def _phases(args, scene):
     t_kernel = best_of(bare)
     t_shard = best_of(shard)
     t_psum = best_of(with_psum)
-    dispatch = max(0.0, t_shard - t_kernel)
-    collective = max(0.0, t_psum - t_shard)
-    eff_bound = t_kernel / max(t_kernel + dispatch + collective, 1e-12)
+    if ring:
+        # the ring has no un-sharded form ("bare" here is the REPLICATED
+        # mm-fold reference point, a different kernel); the isolatable
+        # overhead on one chip is the collective on top of the sharded
+        # ring itself (the 1-device ppermute is an identity rotation)
+        dispatch = 0.0
+        collective = max(0.0, t_psum - t_shard)
+        eff_bound = t_shard / max(t_shard + collective, 1e-12)
+    else:
+        dispatch = max(0.0, t_shard - t_kernel)
+        collective = max(0.0, t_psum - t_shard)
+        eff_bound = t_kernel / max(t_kernel + dispatch + collective,
+                                   1e-12)
     return {
         "mode": "phases",
         "backend": jax.default_backend(),
+        "scene": args.scene,
         "config": {"width": args.width, "height": args.height,
                    "spp": args.spp, "depth": args.depth,
                    "pallas": bool(use_pl)},
@@ -115,10 +167,15 @@ def _phases(args, scene):
                              "collective_full_image_psum":
                                  round(collective, 4)},
         "implied_efficiency_bound_excl_ici": round(eff_bound, 4),
-        "note": ("efficiency >= kernel/(kernel+dispatch+collective+ICI); "
+        "note": (("ring: kernel = the REPLICATED mm-fold reference "
+                  "(different code); shard_map = the 1-device geometry "
+                  "ring (identity ppermute) — faster than replicated "
+                  "here; the bound uses ring/(ring+collective+ICI).")
+                 if ring else
+                 ("efficiency >= kernel/(kernel+dispatch+collective+ICI); "
                  "only the ICI transfer term needs real chips.  The "
-                 "full-image psum is the worst-case collective; the "
-                 "render path's real collectives are smaller."),
+                  "full-image psum is the worst-case collective; the "
+                  "render path's real collectives are smaller.")),
     }
 
 
@@ -135,6 +192,11 @@ def main():
                     help="weak scaling: height scales with device count")
     ap.add_argument("--phases", action="store_true",
                     help="1-device overhead breakdown (see module doc)")
+    ap.add_argument("--scene", default="readme",
+                    choices=("readme", "mesh", "ring"),
+                    help="phases scene: readme (sphere megakernel), "
+                         "mesh (sharded megamesh), ring (MXU geometry "
+                         "ring, 1-device identity rotation)")
     args = ap.parse_args()
 
     import jax
@@ -150,7 +212,19 @@ def main():
     par.init_distributed()
     devices = jax.devices()
     n_max = len(devices)
-    scene = ort.readme_scene()
+    if args.phases and args.scene == "mesh":
+        scene = ort.flagship_scene()
+    elif args.phases and args.scene == "ring":
+        import dataclasses as dc
+
+        from opencl_ray_tracer_tpu.io.obj import parse_obj
+        from opencl_ray_tracer_tpu.io.procgen import make_torus_obj
+        tris, aabb = parse_obj(make_torus_obj(48, 32),
+                               scale=(1.2, 1.2, 1.2),
+                               translate=(0.0, 0.5, -1.8))
+        scene = ort.reference_scene(mesh_tris=tris, mesh_aabb=aabb)
+    else:
+        scene = ort.readme_scene()
 
     if args.phases:
         print(json.dumps(_phases(args, scene)))

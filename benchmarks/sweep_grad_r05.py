@@ -91,14 +91,30 @@ def main(argv):
         timeit("plain skip=cam,acc,draws,fray",
                lambda: run_inner(g_img, True, skip="cam,acc,draws,fray"))
         return
+    if mode == "survival":
+        # count survivors after r capped rounds -> the curve that sets
+        # ladder capacities
+        @functools.partial(jax.jit, static_argnames=("r",))
+        def surv(g, r):
+            _, _, s_out = mg._grad_tables_inner(
+                cam, sph, scene.spheres.count, scene.sky.kind, cfg, g,
+                seed, jnp.int32(0), cfg.spp, flags, False,
+                max_rounds=r, emit_state=True)
+            s = s_out.reshape(-1)[:h * w]
+            return jnp.sum((s < cfg.spp).astype(jnp.int32))
+        for r in (6, 7, 8, 9, 10, 11, 12, 14, 16, 20, 24, 28):
+            n = int(surv(g_img, r))
+            print(json.dumps({"rounds": r,
+                              "alive_frac": round(n / (h * w), 4)}),
+                  flush=True)
+        return
     # multi-level schedules: (rounds, denom) per capped level
     schedules = [
-        ((12, 2), (10, 8)),
         ((12, 2), (6, 4), (6, 8), (8, 32)),
-        ((12, 2), (6, 4), (8, 16)),
-        ((12, 2), (8, 6), (8, 24)),
-        ((13, 2), (8, 8), (8, 32)),
-        ((12, 2), (10, 10)),
+        ((8, 1.45), (4, 2.2), (4, 3.6), (4, 7), (6, 20), (8, 64)),
+        ((9, 1.5), (4, 2.5), (4, 4.5), (5, 10), (8, 40)),
+        ((10, 1.7), (4, 3), (4, 6), (6, 16), (8, 64)),
+        ((8, 1.5), (3, 2), (3, 3), (3, 4.7), (4, 8), (6, 24), (8, 80)),
     ]
     for sch in schedules:
         timeit(f"ladder {sch}", lambda: run_ladder(g_img, sch))

@@ -130,13 +130,16 @@ N_REC = 12
 # under 6 MB at (16, 128) tiles and the abandoned-path waste ~4%.
 MIN_SLOTS = 64
 
-# Per-sphere scalar cotangents are carried as individual values (the
-# reduce/select overhead grows with the count); the cap sits at the
-# forward megakernel's 128-sphere scope — far faster than the jnp
-# winner-only VJP fallback even at 100 spheres (see docs/ARCHITECTURE.md
-# perf table).  Large tables also halve the tile (VMEM; see
-# _grad_tables_inner).
-GRAD_MAX_SPHERES = 128
+# Sphere-count cap of the backward kernel.  Since round 5 the fast-acc
+# reverse accumulates per-sphere cotangents with one-hot MXU
+# contractions over a multi-lane-group table, so the cap is set by
+# trace/unroll size (the intersection and gather folds unroll over
+# n_spheres), not by the 128-lane accumulator of the old per-scalar
+# path.  256 is tested against the jnp VJP; the forward for > 128
+# spheres uses the jnp wavefront (the forward kernels' scope), so only
+# the BACKWARD runs at kernel rate there.  Large tables also halve the
+# tile (VMEM; see _grad_tables_inner).
+GRAD_MAX_SPHERES = 256
 
 # Differentiable sphere-table rows (order = accumulator row order).
 DIFF_FIELDS = (F_CX, F_CY, F_CZ, F_R2, F_INVR, F_ALR, F_ALG, F_ALB,
@@ -228,7 +231,15 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
     w_fields = tuple(w_fields)
     wmap = {f: p for p, f in enumerate(w_fields)}
     n_wf = len(w_fields)
-    ns_pad = -(-n_spheres // 8) * 8
+    # table width: one 128-lane group per 128 spheres; > 128 spheres
+    # REQUIRE the fast-acc reverse (the old per-scalar accumulator is a
+    # single 128-lane row) and have no mesh variant (supports_mesh caps
+    # at 128)
+    tab_w = max(LANES, -(-n_spheres // LANES) * LANES)
+    ns_pad = (-(-n_spheres // 8) * 8) if n_spheres <= LANES else tab_w
+    if n_spheres > LANES:
+        assert mesh is None and (fast_acc or hdr_mode == "emit"), \
+            "> 128 spheres needs the fast-acc sphere kernel"
 
     def _intersect(sph_s, ox, oy, oz, dx, dy, dz, a, inv_a):
         """Closest-hit argmin over the sphere table (first-min ties, the
@@ -557,31 +568,102 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             if hdr_mode == "emit":
                 # fill-only pass: dumps per-(pixel, sample) miss
                 # directions for the jnp sky lookup between passes
-                (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
-                 dref, st, tri_sc, dsc) = refs
+                if continuation:
+                    if emit_state:
+                        (off_ref, cam_ref, sph_ref, w_ref, aabb_ref,
+                         box_ref, state_ref, dref, s_out_ref,
+                         st, tri_sc, dsc) = refs
+                    else:
+                        (off_ref, cam_ref, sph_ref, w_ref, aabb_ref,
+                         box_ref, state_ref, dref,
+                         st, tri_sc, dsc) = refs
+                        s_out_ref = None
+                elif emit_state:
+                    (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
+                     dref, s_out_ref, st, tri_sc, dsc) = refs
+                else:
+                    (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
+                     dref, st, tri_sc, dsc) = refs
+                    s_out_ref = None
                 rec = gacc = gcam_ref = gsph_ref = None
                 gr_ref = gg_ref = gb_ref = None
             elif hdr_mode == "consume":
-                (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
-                 sky_ref, gr_ref, gg_ref, gb_ref, gcam_ref, gsph_ref,
-                 gtri_ref, st, rec, gacc, tri_sc) = refs
+                if continuation:
+                    # packed consume tail: the per-(lane, sample) sky
+                    # values ride the state (rows 5..5+3*spp)
+                    if emit_state:
+                        (off_ref, cam_ref, sph_ref, w_ref, aabb_ref,
+                         box_ref, state_ref, gcam_ref, gsph_ref,
+                         gtri_ref, s_out_ref, st, rec, gacc,
+                         tri_sc) = refs
+                    else:
+                        (off_ref, cam_ref, sph_ref, w_ref, aabb_ref,
+                         box_ref, state_ref, gcam_ref, gsph_ref,
+                         gtri_ref, st, rec, gacc, tri_sc) = refs
+                        s_out_ref = None
+                    sky_ref = None
+                    gr_ref = gg_ref = gb_ref = None
+                elif emit_state:
+                    (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
+                     sky_ref, gr_ref, gg_ref, gb_ref, gcam_ref, gsph_ref,
+                     gtri_ref, s_out_ref, st, rec, gacc, tri_sc) = refs
+                else:
+                    (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
+                     sky_ref, gr_ref, gg_ref, gb_ref, gcam_ref, gsph_ref,
+                     gtri_ref, st, rec, gacc, tri_sc) = refs
+                    s_out_ref = None
+            elif continuation:
+                # packed mesh tail (the mesh ladder): like the sphere
+                # continuation, plus the mesh tables
+                if emit_state:
+                    (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
+                     state_ref, gcam_ref, gsph_ref, gtri_ref, s_out_ref,
+                     st, rec, gacc, tri_sc) = refs
+                else:
+                    (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
+                     state_ref, gcam_ref, gsph_ref, gtri_ref,
+                     st, rec, gacc, tri_sc) = refs
+                    s_out_ref = None
+                gr_ref = gg_ref = gb_ref = None
             else:
-                (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
-                 gr_ref, gg_ref, gb_ref, gcam_ref, gsph_ref,
-                 gtri_ref, st, rec, gacc, tri_sc) = refs
-            # 2-D image tiles (tile_rows x LANES PIXELS): spatially compact
-            # tiles are what make the cluster gates fire (megamesh lesson)
-            ti = pl.program_id(0)
-            tj = pl.program_id(1)
-            first_tile = (ti == 0) & (tj == 0)
-            px_i = (tj * LANES
-                    + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
-            py_i = (off_ref[0, 0] + ti * tile_rows
-                    + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
-            # padding lanes (beyond the image/block) never trace: their
-            # sample counter starts exhausted via pix_valid
-            pix_valid = (px_i < width) & (py_i < off_ref[0, 3])
-            lin = py_i * width + px_i
+                if emit_state:
+                    (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
+                     gr_ref, gg_ref, gb_ref, gcam_ref, gsph_ref,
+                     gtri_ref, s_out_ref, st, rec, gacc, tri_sc) = refs
+                else:
+                    (off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
+                     gr_ref, gg_ref, gb_ref, gcam_ref, gsph_ref,
+                     gtri_ref, st, rec, gacc, tri_sc) = refs
+                    s_out_ref = None
+            if continuation:
+                # packed lanes (any mesh mode): uniform 5-row state
+                # prefix (pixel id, start sample, pixel cotangent); the
+                # consume mode appends 3*spp sky rows after it
+                tile = pl.program_id(0)
+                first_tile = tile == 0
+                lin = state_ref[0].astype(jnp.int32)
+                pix_valid = lin >= 0
+                lin = jnp.maximum(lin, 0)
+                px_i = lin % width
+                py_i = lin // width
+                g_r = state_ref[2]
+                g_g = state_ref[3]
+                g_b = state_ref[4]
+            else:
+                # 2-D image tiles (tile_rows x LANES PIXELS): spatially
+                # compact tiles are what make the cluster gates fire
+                # (megamesh lesson)
+                ti = pl.program_id(0)
+                tj = pl.program_id(1)
+                first_tile = (ti == 0) & (tj == 0)
+                px_i = (tj * LANES
+                        + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+                py_i = (off_ref[0, 0] + ti * tile_rows
+                        + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+                # padding lanes (beyond the image/block) never trace:
+                # their sample counter starts exhausted via pix_valid
+                pix_valid = (px_i < width) & (py_i < off_ref[0, 3])
+                lin = py_i * width + px_i
         elif continuation:
             # packed tail dispatch (the sphere ladder): lanes carry
             # (pixel id, start sample, per-pixel cotangent) from the
@@ -660,7 +742,7 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
             gacc[0, :n_rows_acc, :] = jnp.zeros((n_rows_acc, LANES),
                                                 jnp.float32)
             if gacc2 is not None:
-                gacc2[...] = jnp.zeros((n_wf, LANES), jnp.float32)
+                gacc2[...] = jnp.zeros((n_wf, tab_w), jnp.float32)
 
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
@@ -950,7 +1032,11 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                     dsc[3 * _s + 2] = zero + 1.0
                 for _r in range(3 * spp, 6 * spp + 3):
                     dsc[_r] = zero
-            st[S_S] = jnp.where(pix_valid, 0.0, spp_f)
+            if continuation:
+                # resume each lane at its carried sample counter
+                st[S_S] = jnp.where(pix_valid, state_ref[1], spp_f)
+            else:
+                st[S_S] = jnp.where(pix_valid, 0.0, spp_f)
         elif continuation:
             # resume each lane at its carried sample counter; padding
             # lanes start exhausted
@@ -1152,15 +1238,21 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                 else:
                     mesh_mat = None
                 if hdr_mode == "consume":
-                    # the record's sample selects its (constant) sky value
+                    # the record's sample selects its (constant) sky
+                    # value — from the grid-mapped sky rows, or from the
+                    # packed state (rows 5..) in a continuation dispatch
+                    skr = sky_ref if not continuation else None
+                    base = 0 if not continuation else 5
                     sk0r = zero
                     sk0g = zero
                     sk0b = zero
                     for _s in range(spp):
                         sel = s_rec == jnp.float32(_s)
-                        sk0r = jnp.where(sel, sky_ref[3 * _s + 0], sk0r)
-                        sk0g = jnp.where(sel, sky_ref[3 * _s + 1], sk0g)
-                        sk0b = jnp.where(sel, sky_ref[3 * _s + 2], sk0b)
+                        src = skr if skr is not None else state_ref
+                        r_ = base + 3 * _s
+                        sk0r = jnp.where(sel, src[r_ + 0], sk0r)
+                        sk0g = jnp.where(sel, src[r_ + 1], sk0g)
+                        sk0b = jnp.where(sel, src[r_ + 2], sk0b)
                     hdr_sky_rec = (sk0r, sk0g, sk0b)
                 else:
                     hdr_sky_rec = None
@@ -1419,6 +1511,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
 
         if hdr_mode == "emit":
             dref[...] = dsc[...]
+            if emit_state:
+                s_out_ref[...] = st[S_S]
             return
 
         if emit_state:
@@ -1431,7 +1525,7 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
         acc = gacc[0, :n_rows_acc, :]
         if fast_acc:
             acc2 = gacc2[...]
-            zrow = jnp.zeros((1, LANES), jnp.float32)
+            zrow = jnp.zeros((1, tab_w), jnp.float32)
 
             def srow(f):
                 if f not in wmap:
@@ -1460,20 +1554,25 @@ GRAD_FAST_ACC = True
 
 
 def _w_layout(n_spheres, has_metal, has_diel, has_fuzz):
-    """(n_wf, LANES) of the fast-acc accumulator — row count mirrors the
-    w_fields construction in _make_grad_kernel (full-lane width: Mosaic
-    can't widen a narrow row by concat at flush)."""
+    """(n_wf, tab_w) of the fast-acc accumulator — row count mirrors the
+    w_fields construction in _make_grad_kernel; width = one 128-lane
+    group per 128 spheres (full-lane width: Mosaic can't widen a narrow
+    row by concat at flush)."""
     n_wf = 8 + (1 if (has_metal and has_fuzz) else 0) \
         + (2 if has_diel else 0)
-    return n_wf, LANES
+    return n_wf, max(LANES, -(-n_spheres // LANES) * LANES)
 
 
 def supports_grad(scene: Scene, cfg: RenderConfig) -> bool:
-    """Scenes the Pallas backward kernel covers (= forward megakernel
-    scope up to GRAD_MAX_SPHERES).  The kernel always uses the
-    order-invariant "zero" NaN policy for sample contributions, like
-    render_grad_sampled's jnp chunks."""
-    return supports(scene, cfg) and scene.spheres.count <= GRAD_MAX_SPHERES
+    """Scenes the Pallas backward kernel covers: sphere-only scenes with
+    gradient/constant sky up to GRAD_MAX_SPHERES (256 — beyond the
+    forward kernels' 128; the forward for 129..256 spheres runs on the
+    jnp wavefront while the backward stays at kernel rate).  The kernel
+    always uses the order-invariant "zero" NaN policy for sample
+    contributions, like render_grad_sampled's jnp chunks."""
+    return (scene.triangles.count == 0
+            and scene.sky.kind in (KIND_GRADIENT, KIND_CONST)
+            and 0 < scene.spheres.count <= GRAD_MAX_SPHERES)
 
 
 def render_grad_tables(scene: Scene, cfg: RenderConfig, g_img, seed,
@@ -1532,7 +1631,13 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
     tile_rows = TILE_ROWS if n_spheres <= 32 else TILE_ROWS // 2
     tile = tile_rows * LANES
     if fast_acc is None:
-        fast_acc = GRAD_FAST_ACC and n_spheres <= LANES
+        # > 128 spheres REQUIRE the fast-acc reverse (multi-lane-group
+        # accumulator); below that it is the measured-faster default
+        fast_acc = GRAD_FAST_ACC or n_spheres > LANES
+    tab_w = max(LANES, -(-n_spheres // LANES) * LANES)
+    w_in = sph_tab.shape[1]
+    if w_in < tab_w:
+        sph_tab = jnp.pad(sph_tab, ((0, 0), (0, tab_w - w_in)))
     kernel = _make_grad_kernel(
         n_spheres=n_spheres, width=w, height=h,
         spp=n_samples, max_depth=cfg.max_depth, t_min=cfg.t_min,
@@ -1561,21 +1666,26 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
         pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, LANES), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+        pl.BlockSpec((N_FIELDS, tab_w), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     table_outs = [
         pl.BlockSpec((1, LANES), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+        pl.BlockSpec((N_FIELDS, tab_w), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
+
+    def _slice_back(outs):
+        # the kernel's gsph rides the padded table width; hand callers
+        # the cotangent in the INPUT table's width
+        return (outs[0], outs[1][:, :w_in]) + tuple(outs[2:])
 
     if continuation_state is not None:
         n2_rows = continuation_state.shape[1]
         assert n2_rows % tile_rows == 0
         c_shape = [jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32)]
+                   jax.ShapeDtypeStruct((N_FIELDS, tab_w), jnp.float32)]
         c_specs = list(table_outs)
         if emit_state:
             c_shape.append(jax.ShapeDtypeStruct((n2_rows, LANES),
@@ -1583,7 +1693,7 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
             c_specs.append(pl.BlockSpec((tile_rows, LANES),
                                         lambda i: (i, 0),
                                         memory_space=pltpu.VMEM))
-        outs = pl.pallas_call(
+        outs = _slice_back(pl.pallas_call(
             kernel,
             out_shape=c_shape,
             grid=(n2_rows // tile_rows,),
@@ -1593,7 +1703,7 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
             out_specs=c_specs,
             scratch_shapes=scratch,
             interpret=interpret,
-        )(off, cam_tab, sph_tab, continuation_state)
+        )(off, cam_tab, sph_tab, continuation_state))
         return outs if emit_state else (outs[0], outs[1])
 
     n_tiles = -(-n_pix // tile)
@@ -1604,7 +1714,7 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
     g = g.T.reshape(3, n_tiles * tile_rows, LANES)
 
     out_shape = [jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-                 jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32)]
+                 jax.ShapeDtypeStruct((N_FIELDS, tab_w), jnp.float32)]
     out_specs = list(table_outs)
     if emit_state:
         out_shape.append(jax.ShapeDtypeStruct(
@@ -1613,7 +1723,7 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
                                       lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
 
-    outs = pl.pallas_call(
+    outs = _slice_back(pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=(n_tiles,),
@@ -1623,7 +1733,7 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(off, cam_tab, sph_tab, g[0], g[1], g[2])
+    )(off, cam_tab, sph_tab, g[0], g[1], g[2]))
     return outs if emit_state else (outs[0], outs[1])
 
 
@@ -1642,12 +1752,32 @@ GRAD_LADDER_R0_FACTOR = 4.1
 GRAD_LADDER_DENOM = 2
 # Capped-level schedule: (rounds_factor, denom) per level; the round cap
 # of level k is max(2, int(factor * spp / n_slots)) and its survivors
-# compact into n_padded/denom lanes.  The final dispatch after the last
-# level runs uncapped.  Swept on TPU (README 250spp/d50, caps in rounds):
-# r4 two-level (16,2) = 0.538 s; (16,2)+(10,8) = 0.497; (12,2)+(10,8) =
-# 0.481 (best); (12,2)+(8,4)+(8,16) = 0.481; (10,2)+... trips the
-# overflow fallback (survivors at 10 rounds exceed half the lanes).
-GRAD_LADDER_SCHEDULE = ((3.1, 2), (2.6, 8))
+# compact into n_padded/denom lanes (denom may be a float).  The final
+# dispatch after the last level runs uncapped.  Swept on TPU (README
+# 250spp/d50, caps in rounds): r4 two-level (16,2) = 0.538 s;
+# (12,2)+(10,8) = 0.481; (12,2)+(6,4)+(6,8)+(8,32) = 0.460;
+# (9,1.5)+(4,2.5)+(4,4.5)+(5,10)+(8,40) = 0.4395 (best; measured
+# survival curve: alive after 9/12/16/20/24 rounds = 64/47/16/5.8/2.0 %).
+# Tighter first levels trip the overflow fallback (~1.04 s).
+GRAD_LADDER_SCHEDULE = ((2.304, 1.5), (1.024, 2.5), (1.024, 4.5),
+                        (1.28, 10), (2.048, 40))
+# The tight schedule's integer floors get unsafe below ~3 rounds/level;
+# mid-spp configs (64..199) use the conservative 2-level ladder instead.
+GRAD_LADDER_SCHEDULE_MID = ((3.1, 2), (2.6, 8))
+
+
+def _default_levels(n_samples: int, n_slots: int):
+    if n_samples <= 16:
+        # low-spp windows (the HDR flagship: 5 spp/d32 per window): the
+        # mean lane finishes within a fraction of ONE round while the
+        # uncapped while-loop runs to its slowest lane (~3 rounds at
+        # depth 32) — cap at single rounds with steep capacities (the
+        # F1 survival curve decays to a few % within one round)
+        return ((1, 8), (1, 32))
+    sched = (GRAD_LADDER_SCHEDULE if n_samples >= 200
+             else GRAD_LADDER_SCHEDULE_MID)
+    return tuple((max(2, int(rf * n_samples / n_slots)), d)
+                 for rf, d in sched)
 
 
 def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
@@ -1691,9 +1821,7 @@ def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
         if r0 is not None:
             levels = ((r0, denom),)
         else:
-            levels = tuple(
-                (max(2, int(rf * n_samples / n_slots)), d)
-                for rf, d in GRAD_LADDER_SCHEDULE)
+            levels = _default_levels(n_samples, n_slots)
     base_kw = dict(pix_base=pix_base, full_height=full_height)
     base_args = (cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img, seed,
                  sample_base, n_samples, flags, interpret)
@@ -1703,7 +1831,7 @@ def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
                 else jnp.asarray(pix_base, jnp.int32))
 
     gcam = jnp.zeros((1, LANES), jnp.float32)
-    gsph = jnp.zeros((N_FIELDS, LANES), jnp.float32)
+    gsph = jnp.zeros((N_FIELDS, sph_tab.shape[1]), jnp.float32)
     ok = jnp.bool_(True)
     state = None
     dom_pix = dom_g = dom_valid = None
@@ -1723,7 +1851,9 @@ def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
             dom_s = s_out.reshape(-1)
         gcam = gcam + gc
         gsph = gsph + gs
-        cap_k = max(tile, (n_padded // dnm // tile) * tile)
+        # dnm may be a float (tight capacity tracking of the survival
+        # curve; e.g. 1.5 = two thirds of the padded lanes)
+        cap_k = max(tile, int(n_padded / dnm) // tile * tile)
         alive = dom_valid & (dom_s < spp_f)
         ok = ok & (jnp.sum(alive.astype(jnp.int32)) <= cap_k)
         idx = jnp.nonzero(alive, size=cap_k, fill_value=-1)[0]
@@ -1748,22 +1878,42 @@ def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
     return jax.lax.cond(ok, lambda _: (gcam, gsph), _fallback, None)
 
 
+# Ring depth of the MESH/HDR grad kernels.  The sphere kernel keeps
+# MIN_SLOTS=64 (measured optimal); the mesh variants' ring carries 17
+# rows and shares VMEM with the triangle weight table (and, for HDR
+# consume, the per-sample sky rows) — at 64 slots the flagship consume
+# sits ~0.4 MB past the 16 MB scoped limit.  40 slots free 3.3 MB for
+# ~3% extra abandoned-path recompute waste (E[len]/slots).
+MESH_GRAD_SLOTS = 40
+
+
+def _mesh_slots(cfg) -> int:
+    return max(cfg.max_depth, MESH_GRAD_SLOTS)
+
+
 def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
                             n_spheres, sky_kind, cfg, g_img, seed,
                             sample_base, n_samples, flags, interpret,
-                            row_base=None, full_height=None):
+                            row_base=None, full_height=None,
+                            max_rounds=None, emit_state: bool = False,
+                            continuation_state=None):
     """Mesh-variant dispatch: 2-D image tiles (MESH_TILE_ROWS x LANES
     pixels — spatial compactness keeps the in-kernel cluster gates
     firing), VMEM-resident triangle weight table, ring with winner
     records.  row_base (traced i32) positions this g_img block's first
-    ROW in the global image (sharded row blocks)."""
+    ROW in the global image (sharded row blocks).
+
+    max_rounds/emit_state/continuation_state: the tail-compaction ladder
+    plumbing, exactly as in _grad_tables_inner (the packed state keeps
+    raster pixel order, which preserves enough spatial coherence for the
+    in-kernel cluster gates to keep firing)."""
     has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags[:5]
     h, w = g_img.shape[0], g_img.shape[1]
     block_rows = g_img.shape[0]
     if full_height is not None:
         h = full_height
 
-    n_slots = max(MIN_SLOTS, cfg.max_depth)
+    n_slots = _mesh_slots(cfg)
     tile_rows = MESH_TILE_ROWS
     fast_acc = GRAD_FAST_ACC and n_spheres <= LANES
     kernel = _make_grad_kernel(
@@ -1772,22 +1922,92 @@ def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
         sky_kind=sky_kind, clamp_samples=cfg.clamp_samples,
         has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
         has_fuzz=has_fuzz, has_aperture=has_aperture, n_slots=n_slots,
-        tile_rows=tile_rows, mesh=mesh, fast_acc=fast_acc)
+        tile_rows=tile_rows, mesh=mesh, fast_acc=fast_acc,
+        max_rounds=max_rounds, emit_state=emit_state,
+        continuation=continuation_state is not None)
 
     n_tr = -(-block_rows // tile_rows)
     n_tc = -(-w // LANES)
     hp, wp = n_tr * tile_rows, n_tc * LANES
-    g = jnp.pad(g_img, ((0, hp - block_rows), (0, wp - w), (0, 0)))
-    g = g.transpose(2, 0, 1)                     # (3, hp, wp)
 
     row0 = (jnp.int32(0) if row_base is None
             else jnp.asarray(row_base, jnp.int32))
     t_pad = max(1, mesh[0]) * mesh[1]
-    gcam, gsph, gtri = pl.pallas_call(
+    off = jnp.stack([row0, jnp.int32(seed), jnp.int32(sample_base),
+                     row0 + jnp.int32(block_rows)]).reshape(1, 4)
+    scratch = [
+        pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((N_REC_MESH, n_slots * tile_rows, LANES),
+                   jnp.float32),
+        pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
+        pltpu.VMEM((N_TRI_SC, tile_rows, LANES), jnp.float32),
+    ] + ([pltpu.VMEM(
+        _w_layout(n_spheres, has_metal, has_diel, has_fuzz),
+        jnp.float32)] if fast_acc else [])
+    out_shape = [jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+                 jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32),
+                 jax.ShapeDtypeStruct((4, t_pad), jnp.float32)]
+
+    if continuation_state is not None:
+        n2_rows = continuation_state.shape[1]
+        assert n2_rows % tile_rows == 0
+        out_specs = [
+            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, t_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if emit_state:
+            out_shape.append(jax.ShapeDtypeStruct((n2_rows, LANES),
+                                                  jnp.float32))
+            out_specs.append(pl.BlockSpec((tile_rows, LANES),
+                                          lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(n2_rows // tile_rows,),
+            in_specs=[
+                pl.BlockSpec((1, 4), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, w_flat.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster AABBs
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # top boxes
+                pl.BlockSpec((5, tile_rows, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(off, cam_tab, sph_tab, w_flat, aabb, boxes,
+          continuation_state)
+        return outs if emit_state else (outs[0], outs[1], outs[2])
+
+    g = jnp.pad(g_img, ((0, hp - block_rows), (0, wp - w), (0, 0)))
+    g = g.transpose(2, 0, 1)                     # (3, hp, wp)
+    out_specs = [
+        pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, t_pad), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if emit_state:
+        out_shape.append(jax.ShapeDtypeStruct((hp, wp), jnp.float32))
+        out_specs.append(pl.BlockSpec((tile_rows, LANES),
+                                      lambda i, j: (i, j),
+                                      memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((4, t_pad), jnp.float32)],
+        out_shape=out_shape,
         grid=(n_tr, n_tc),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i, j: (0, 0),
@@ -1802,28 +2022,112 @@ def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # top boxes
         ] + [pl.BlockSpec((tile_rows, LANES), lambda i, j: (i, j),
                           memory_space=pltpu.VMEM) for _ in range(3)],
-        out_specs=[
-            pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, t_pad), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
-            pltpu.VMEM((N_REC_MESH, n_slots * tile_rows, LANES),
-                       jnp.float32),
-            pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
-            pltpu.VMEM((N_TRI_SC, tile_rows, LANES), jnp.float32),
-        ] + ([pltpu.VMEM(
-            _w_layout(n_spheres, has_metal, has_diel, has_fuzz),
-            jnp.float32)] if fast_acc else []),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(jnp.stack([row0, jnp.int32(seed), jnp.int32(sample_base),
-                 row0 + jnp.int32(block_rows)]).reshape(1, 4),
-      cam_tab, sph_tab, w_flat, aabb, boxes, g[0], g[1], g[2])
-    return gcam, gsph, gtri
+    )(off, cam_tab, sph_tab, w_flat, aabb, boxes, g[0], g[1], g[2])
+    return outs if emit_state else (outs[0], outs[1], outs[2])
+
+
+def _mesh_ladder_applicable(cfg) -> bool:
+    """The mesh tail ladder pays off whenever a window spans more than
+    one ring round (the uncapped while-loop then idles on its slowest
+    lane) — which includes LOW-spp deep configs like the flagship's
+    5 spp/d32 (bound 161 > 64 slots), not just high-spp ones."""
+    n_slots = _mesh_slots(cfg)
+    return cfg.spp * cfg.max_depth + 1 > n_slots
+
+
+def _grad_tables_mesh_laddered(cam_tab, sph_tab, w_flat, aabb, boxes,
+                               mesh, n_spheres, sky_kind, cfg, g_img,
+                               seed, sample_base, n_samples, flags,
+                               interpret, levels=None, row_base=None,
+                               full_height=None):
+    """Multi-level tail-compaction ladder for the MESH backward kernel —
+    the sphere ladder (_grad_tables_laddered) ported to the 2-D-tiled
+    mesh dispatch.  Survivors compact in raster pixel order (spatial
+    coherence for the cluster gates); a capacity overflow at any level
+    falls back to the plain uncapped kernel via lax.cond."""
+    h, w = g_img.shape[0], g_img.shape[1]
+    block_rows = h
+    full_h = h if full_height is None else full_height
+    base_args = (cam_tab, sph_tab, w_flat, aabb, boxes, mesh, n_spheres,
+                 sky_kind, cfg, g_img, seed, sample_base, n_samples,
+                 flags, interpret)
+    base_kw = dict(row_base=row_base, full_height=full_height)
+    if w * full_h > 2 ** 24:     # f32-exact pixel-id guard (see sphere)
+        return _grad_tables_mesh_inner(*base_args, **base_kw)
+    n_slots = _mesh_slots(cfg)
+    tile_rows = MESH_TILE_ROWS
+    tile = tile_rows * LANES
+    if levels is None:
+        levels = _default_levels(n_samples, n_slots)
+    n_tr = -(-block_rows // tile_rows)
+    n_tc = -(-w // LANES)
+    hp, wp = n_tr * tile_rows, n_tc * LANES
+    n_padded = hp * wp
+    row0 = (jnp.int32(0) if row_base is None
+            else jnp.asarray(row_base, jnp.int32))
+    spp_f = jnp.float32(n_samples)
+
+    t_pad = max(1, mesh[0]) * mesh[1]
+    gcam = jnp.zeros((1, LANES), jnp.float32)
+    gsph = jnp.zeros((N_FIELDS, LANES), jnp.float32)
+    gtri = jnp.zeros((4, t_pad), jnp.float32)
+    ok = jnp.bool_(True)
+    state = None
+    dom_pix = dom_g = dom_valid = None
+    for cap_rounds, dnm in levels:
+        if state is None:
+            gc, gs, gt, s_out = _grad_tables_mesh_inner(
+                *base_args, max_rounds=cap_rounds, emit_state=True,
+                **base_kw)
+            # padded-grid layout -> per-pixel domain arrays
+            yy = jnp.arange(hp, dtype=jnp.int32)
+            xx = jnp.arange(wp, dtype=jnp.int32)
+            in_img = ((yy[:, None] < block_rows) & (xx[None, :] < w))
+            dom_pix = ((row0 + yy[:, None]) * w + xx[None, :]
+                       ).reshape(-1)
+            gp = jnp.pad(g_img, ((0, hp - block_rows), (0, wp - w),
+                                 (0, 0)))
+            dom_g = gp.reshape(-1, 3)
+            dom_valid = in_img.reshape(-1)
+            dom_s = s_out.reshape(-1)
+        else:
+            gc, gs, gt, s_out = _grad_tables_mesh_inner(
+                *base_args, max_rounds=cap_rounds, emit_state=True,
+                continuation_state=state, **base_kw)
+            dom_s = s_out.reshape(-1)
+        gcam = gcam + gc
+        gsph = gsph + gs
+        gtri = gtri + gt
+        # dnm may be a float (tight capacity tracking of the survival
+        # curve; e.g. 1.5 = two thirds of the padded lanes)
+        cap_k = max(tile, int(n_padded / dnm) // tile * tile)
+        alive = dom_valid & (dom_s < spp_f)
+        ok = ok & (jnp.sum(alive.astype(jnp.int32)) <= cap_k)
+        idx = jnp.nonzero(alive, size=cap_k, fill_value=-1)[0]
+        valid = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        pix_f = jnp.where(valid, dom_pix[safe], -1).astype(jnp.float32)
+        s0 = jnp.where(valid, dom_s[safe], spp_f)
+        gl = dom_g[safe] * valid[:, None]
+        state = jnp.stack([pix_f, s0, gl[:, 0], gl[:, 1], gl[:, 2]]
+                          ).reshape(5, cap_k // LANES, LANES)
+        dom_pix = jnp.where(valid, dom_pix[safe], -1)
+        dom_g = gl
+        dom_valid = valid
+    gc, gs, gt = _grad_tables_mesh_inner(
+        *base_args, continuation_state=state, **base_kw)
+    gcam = gcam + gc
+    gsph = gsph + gs
+    gtri = gtri + gt
+
+    def _fallback(_):
+        return _grad_tables_mesh_inner(*base_args, **base_kw)
+
+    return jax.lax.cond(ok, lambda _: (gcam, gsph, gtri), _fallback,
+                        None)
 
 
 # HDR backward runs over sample windows (two passes per window: emit miss
@@ -1854,12 +2158,64 @@ def _grad_tables_hdr_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
     want_sky_cot=False."""
     from ..scene import sky_colour
 
-    has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags[:5]
     h, w = g_img.shape[0], g_img.shape[1]
     block_rows = g_img.shape[0]
-    if full_height is not None:
-        h = full_height
-    n_slots = max(MIN_SLOTS, cfg.max_depth)
+    tile_rows = MESH_TILE_ROWS
+    n_tr = -(-block_rows // tile_rows)
+    n_tc = -(-w // LANES)
+    hp, wp = n_tr * tile_rows, n_tc * LANES
+    # tail ladders pay off whenever the window spans more than one ring
+    # round (the uncapped while-loop then idles on its slowest lane)
+    n_slots = _mesh_slots(cfg)
+    use_ladder = n_samples * cfg.max_depth + 1 > n_slots
+    emit_fn = _hdr_emit_laddered if use_ladder else _hdr_emit_window
+    consume_fn = (_hdr_consume_laddered if use_ladder
+                  else _hdr_consume_window)
+
+    # ---- pass 1: emit miss directions + throughputs (+ non-sky sum) ----
+    dirs, thrs, _emis = emit_fn(
+        cam_tab, sph_tab, w_flat, aabb, boxes, mesh, n_spheres, cfg,
+        block_rows, w, seed, sample_base, n_samples, flags, interpret,
+        row_base=row_base, full_height=full_height)
+
+    # ---- sky lookup (constant values; zero direction-derivative) ----
+    d_v = dirs.reshape(n_samples, 3, hp, wp).transpose(0, 2, 3, 1)
+    sk = sky_colour(sky, d_v)                     # (spp_c, hp, wp, 3)
+    sky_rows = sk.transpose(0, 3, 1, 2).reshape(3 * n_samples, hp, wp)
+    sky_rows = jax.lax.stop_gradient(sky_rows)
+
+    # ---- sky-image cotangent (the per-texel environment gradient) ----
+    if want_sky_cot:
+        g_sky = _hdr_sky_cot(sky, cfg, d_v, thrs, sk, g_img, hp, wp,
+                             block_rows, w, n_samples)
+    else:
+        g_sky = jnp.zeros_like(sky.image)
+
+    gcam, gsph, gtri = consume_fn(
+        cam_tab, sph_tab, w_flat, aabb, boxes, mesh, n_spheres, cfg,
+        g_img, seed, sample_base, n_samples, flags, interpret, sky_rows,
+        row_base=row_base, full_height=full_height)
+    return gcam, gsph, gtri, g_sky
+
+
+def _hdr_emit_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
+                     n_spheres, cfg, block_rows, w, seed, sample_base,
+                     n_samples, flags, interpret, row_base=None,
+                     full_height=None, max_rounds=None,
+                     emit_state: bool = False, continuation_state=None):
+    """Emit pass of one HDR window (fill-only): returns
+    (dirs (3*spp, hp, wp), thrs (3*spp, hp, wp), emis (3, hp, wp)) —
+    per-(pixel, sample) miss directions and throughputs plus the window's
+    non-sky contribution sum (emissive terminals).  dirs default to
+    (0,0,1) and thrs to 0 for samples that never missed.
+
+    max_rounds/emit_state/continuation_state: tail-ladder plumbing; a
+    continuation returns packed (n_emit, n2_rows, LANES) planes the
+    caller scatters back by pixel id (see _hdr_emit_laddered).  The
+    state uses the uniform 5-row prefix (g rows ignored here)."""
+    has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags[:5]
+    h = block_rows if full_height is None else full_height
+    n_slots = _mesh_slots(cfg)
     tile_rows = MESH_TILE_ROWS
     n_tr = -(-block_rows // tile_rows)
     n_tc = -(-w // LANES)
@@ -1868,18 +2224,229 @@ def _grad_tables_hdr_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
             else jnp.asarray(row_base, jnp.int32))
     off = jnp.stack([row0, jnp.int32(seed), jnp.int32(sample_base),
                      row0 + jnp.int32(block_rows)]).reshape(1, 4)
+    kernel = _make_grad_kernel(
+        n_spheres=n_spheres, width=w, height=h,
+        spp=n_samples, max_depth=cfg.max_depth, t_min=cfg.t_min,
+        sky_kind=KIND_HDR, clamp_samples=cfg.clamp_samples,
+        has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
+        has_fuzz=has_fuzz, has_aperture=has_aperture,
+        n_slots=n_slots, tile_rows=tile_rows, mesh=mesh,
+        hdr_mode="emit", max_rounds=max_rounds, emit_state=emit_state,
+        continuation=continuation_state is not None)
+    n_emit = 6 * n_samples + 3
+    scratch = [
+        pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((N_TRI_SC, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((n_emit, tile_rows, LANES), jnp.float32),
+    ]
 
-    fast_acc = GRAD_FAST_ACC and n_spheres <= LANES
+    if continuation_state is not None:
+        n2_rows = continuation_state.shape[1]
+        assert n2_rows % tile_rows == 0
+        out_shape = [jax.ShapeDtypeStruct((n_emit, n2_rows, LANES),
+                                          jnp.float32)]
+        out_specs = [pl.BlockSpec((n_emit, tile_rows, LANES),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        if emit_state:
+            out_shape.append(jax.ShapeDtypeStruct((n2_rows, LANES),
+                                                  jnp.float32))
+            out_specs.append(pl.BlockSpec((tile_rows, LANES),
+                                          lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(n2_rows // tile_rows,),
+            in_specs=[
+                pl.BlockSpec((1, 4), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, w_flat.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((5, tile_rows, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(off, cam_tab, sph_tab, w_flat, aabb, boxes,
+          continuation_state)
+        return outs if emit_state else (outs[0],)
 
-    def mk(hdr_mode):
-        return _make_grad_kernel(
-            n_spheres=n_spheres, width=w, height=h,
-            spp=n_samples, max_depth=cfg.max_depth, t_min=cfg.t_min,
-            sky_kind=KIND_HDR, clamp_samples=cfg.clamp_samples,
-            has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
-            has_fuzz=has_fuzz, has_aperture=has_aperture,
-            n_slots=n_slots, tile_rows=tile_rows, mesh=mesh,
-            hdr_mode=hdr_mode, fast_acc=fast_acc)
+    base_specs = [
+        pl.BlockSpec((1, 4), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, w_flat.shape[1]), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster AABBs
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # top boxes
+    ]
+    emit_spec = pl.BlockSpec((n_emit, tile_rows, LANES),
+                             lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((n_emit, hp, wp), jnp.float32)]
+    out_specs = [emit_spec]
+    if emit_state:
+        out_shape.append(jax.ShapeDtypeStruct((hp, wp), jnp.float32))
+        out_specs.append(pl.BlockSpec((tile_rows, LANES),
+                                      lambda i, j: (i, j),
+                                      memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(n_tr, n_tc),
+        in_specs=base_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(off, cam_tab, sph_tab, w_flat, aabb, boxes)
+    emit_out = outs[0]
+    parts = (emit_out[:3 * n_samples],
+             emit_out[3 * n_samples:6 * n_samples],
+             emit_out[6 * n_samples:])
+    return parts + (outs[1],) if emit_state else parts
+
+
+def _hdr_sky_cot(sky, cfg, d_v, thrs, sk, g_img, hp, wp, block_rows, w,
+                 n_samples):
+    """Per-texel environment-map cotangent of one window: scatter-add of
+    thr * g_pixel at each miss sample's texel — the jnp VJP's interior
+    derivative (the nearest-texel index has zero direction-derivative).
+    thr is zero for samples that never missed, so only genuine miss
+    samples contribute (and padding pixels carry zero g)."""
+    sh, sw = sky.image.shape[0], sky.image.shape[1]
+    from ..scene.sky import direction_to_uv
+    u, v = direction_to_uv(jax.lax.stop_gradient(d_v))
+    tx = jnp.clip((u * sw).astype(jnp.int32), 0, sw - 1)
+    ty = jnp.clip((v * sh).astype(jnp.int32), 0, sh - 1)
+    thr_v = (thrs.reshape(n_samples, 3, hp, wp)
+             .transpose(0, 2, 3, 1))           # (spp, hp, wp, 3)
+    gpix = jnp.pad(g_img, ((0, hp - block_rows), (0, wp - w), (0, 0)))
+    contrib = thr_v * gpix[None]
+    if cfg.clamp_samples:
+        # the per-sample clamp's subgradient at the contribution
+        # thr*sky: 1 inside, 0 above, and jax's min-at-tie 0.5 AT
+        # exactly 1.0 (tone-mapped texels can round to 1.0f even
+        # though the map is < 1 mathematically) — matches the jnp
+        # VJP and the consume pass's own clamp transpose
+        x = jax.lax.stop_gradient(thr_v * sk)
+        cf = jnp.where(x < 1.0, 1.0, jnp.where(x > 1.0, 0.0, 0.5))
+        cf = jnp.where(jnp.isnan(x), 0.0, cf)
+        contrib = contrib * cf
+    return jnp.zeros((sh, sw, 3), jnp.float32).at[
+        ty.reshape(-1), tx.reshape(-1)].add(contrib.reshape(-1, 3))
+
+
+def _hdr_consume_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
+                        n_spheres, cfg, g_img, seed, sample_base,
+                        n_samples, flags, interpret, sky_rows,
+                        row_base=None, full_height=None,
+                        max_rounds=None, emit_state: bool = False,
+                        continuation_state=None):
+    """Consume pass of one HDR window: fill + reverse with the
+    per-(pixel, sample) sky rows resident in VMEM.
+
+    max_rounds/emit_state/continuation_state: tail-ladder plumbing.  A
+    continuation state has 5 + 3*spp rows (the uniform prefix + each
+    lane's per-sample sky values); sky_rows is then ignored."""
+    has_metal, has_diel, has_emit, has_fuzz, has_aperture = flags[:5]
+    h, w = g_img.shape[0], g_img.shape[1]
+    block_rows = g_img.shape[0]
+    if full_height is not None:
+        h = full_height
+    n_slots = _mesh_slots(cfg)
+    tile_rows = MESH_TILE_ROWS
+    n_tr = -(-block_rows // tile_rows)
+    n_tc = -(-w // LANES)
+    hp, wp = n_tr * tile_rows, n_tc * LANES
+    row0 = (jnp.int32(0) if row_base is None
+            else jnp.asarray(row_base, jnp.int32))
+    off = jnp.stack([row0, jnp.int32(seed), jnp.int32(sample_base),
+                     row0 + jnp.int32(block_rows)]).reshape(1, 4)
+    # fast_acc is OFF for the HDR consume: with the per-sample sky rows
+    # resident, the fast-acc path's vector-register spill overflows the
+    # 16 MB scoped-VMEM limit by ~0.4 MB (measured on the flagship);
+    # the mesh reverse is triangle-matmul-dominated, so the per-scalar
+    # accumulation costs little here.
+    fast_acc = False
+    kernel = _make_grad_kernel(
+        n_spheres=n_spheres, width=w, height=h,
+        spp=n_samples, max_depth=cfg.max_depth, t_min=cfg.t_min,
+        sky_kind=KIND_HDR, clamp_samples=cfg.clamp_samples,
+        has_metal=has_metal, has_diel=has_diel, has_emit=has_emit,
+        has_fuzz=has_fuzz, has_aperture=has_aperture,
+        n_slots=n_slots, tile_rows=tile_rows, mesh=mesh,
+        hdr_mode="consume", fast_acc=fast_acc, max_rounds=max_rounds,
+        emit_state=emit_state,
+        continuation=continuation_state is not None)
+    t_pad = max(1, mesh[0]) * mesh[1]
+    scratch = [
+        pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((N_REC_MESH, n_slots * tile_rows, LANES),
+                   jnp.float32),
+        pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
+        pltpu.VMEM((N_TRI_SC, tile_rows, LANES), jnp.float32),
+    ] + ([pltpu.VMEM(
+        _w_layout(n_spheres, has_metal, has_diel, has_fuzz),
+        jnp.float32)] if fast_acc else [])
+    out_shape = [jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+                 jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32),
+                 jax.ShapeDtypeStruct((4, t_pad), jnp.float32)]
+
+    if continuation_state is not None:
+        n_state = 5 + 3 * n_samples
+        assert continuation_state.shape[0] == n_state
+        n2_rows = continuation_state.shape[1]
+        assert n2_rows % tile_rows == 0
+        out_specs = [
+            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, t_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if emit_state:
+            out_shape.append(jax.ShapeDtypeStruct((n2_rows, LANES),
+                                                  jnp.float32))
+            out_specs.append(pl.BlockSpec((tile_rows, LANES),
+                                          lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(n2_rows // tile_rows,),
+            in_specs=[
+                pl.BlockSpec((1, 4), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, w_flat.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_state, tile_rows, LANES),
+                             lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(off, cam_tab, sph_tab, w_flat, aabb, boxes,
+          continuation_state)
+        return outs if emit_state else (outs[0], outs[1], outs[2])
 
     base_specs = [
         pl.BlockSpec((1, 4), lambda i, j: (0, 0),
@@ -1898,96 +2465,234 @@ def _grad_tables_hdr_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
     sky_spec = pl.BlockSpec((3 * n_samples, tile_rows, LANES),
                             lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
-
-    # ---- pass 1: emit miss directions + throughputs (+ non-sky sum) ----
-    n_emit = 6 * n_samples + 3
-    emit_spec = pl.BlockSpec((n_emit, tile_rows, LANES),
-                             lambda i, j: (0, i, j),
-                             memory_space=pltpu.VMEM)
-    emit_out = pl.pallas_call(
-        mk("emit"),
-        out_shape=jax.ShapeDtypeStruct((n_emit, hp, wp), jnp.float32),
-        grid=(n_tr, n_tc),
-        in_specs=base_specs,
-        out_specs=emit_spec,
-        scratch_shapes=[
-            pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
-            pltpu.VMEM((N_TRI_SC, tile_rows, LANES), jnp.float32),
-            pltpu.VMEM((n_emit, tile_rows, LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(off, cam_tab, sph_tab, w_flat, aabb, boxes)
-    dirs = emit_out[:3 * n_samples]
-    thrs = emit_out[3 * n_samples:6 * n_samples]
-
-    # ---- sky lookup (constant values; zero direction-derivative) ----
-    d_v = dirs.reshape(n_samples, 3, hp, wp).transpose(0, 2, 3, 1)
-    sk = sky_colour(sky, d_v)                     # (spp_c, hp, wp, 3)
-    sky_rows = sk.transpose(0, 3, 1, 2).reshape(3 * n_samples, hp, wp)
-    sky_rows = jax.lax.stop_gradient(sky_rows)
-
-    # ---- sky-image cotangent (the per-texel environment gradient) ----
-    if want_sky_cot:
-        sh, sw = sky.image.shape[0], sky.image.shape[1]
-        from ..scene.sky import direction_to_uv
-        u, v = direction_to_uv(jax.lax.stop_gradient(d_v))
-        tx = jnp.clip((u * sw).astype(jnp.int32), 0, sw - 1)
-        ty = jnp.clip((v * sh).astype(jnp.int32), 0, sh - 1)
-        thr_v = (thrs.reshape(n_samples, 3, hp, wp)
-                 .transpose(0, 2, 3, 1))           # (spp, hp, wp, 3)
-        gpix = jnp.pad(g_img, ((0, hp - block_rows), (0, wp - w),
-                               (0, 0)))
-        # thr is zero for samples that never missed, so only genuine
-        # miss samples contribute (and padding pixels carry zero g)
-        contrib = thr_v * gpix[None]
-        if cfg.clamp_samples:
-            # the per-sample clamp's subgradient at the contribution
-            # thr*sky: 1 inside, 0 above, and jax's min-at-tie 0.5 AT
-            # exactly 1.0 (tone-mapped texels can round to 1.0f even
-            # though the map is < 1 mathematically) — matches the jnp
-            # VJP and the consume pass's own clamp transpose
-            x = jax.lax.stop_gradient(thr_v * sk)
-            cf = jnp.where(x < 1.0, 1.0, jnp.where(x > 1.0, 0.0, 0.5))
-            cf = jnp.where(jnp.isnan(x), 0.0, cf)
-            contrib = contrib * cf
-        g_sky = jnp.zeros((sh, sw, 3), jnp.float32).at[
-            ty.reshape(-1), tx.reshape(-1)].add(
-            contrib.reshape(-1, 3))
-    else:
-        g_sky = jnp.zeros_like(sky.image)
-
-    # ---- pass 2: fill + reverse with the sky rows resident ----
     g = jnp.pad(g_img, ((0, hp - block_rows), (0, wp - w), (0, 0)))
     g = g.transpose(2, 0, 1)
-    t_pad = max(1, mesh[0]) * mesh[1]
-    gcam, gsph, gtri = pl.pallas_call(
-        mk("consume"),
-        out_shape=[jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((4, t_pad), jnp.float32)],
+    out_specs = [
+        pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, t_pad), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if emit_state:
+        out_shape.append(jax.ShapeDtypeStruct((hp, wp), jnp.float32))
+        out_specs.append(pl.BlockSpec((tile_rows, LANES),
+                                      lambda i, j: (i, j),
+                                      memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
         grid=(n_tr, n_tc),
         in_specs=base_specs + [sky_spec, rows_spec, rows_spec, rows_spec],
-        out_specs=[
-            pl.BlockSpec((1, LANES), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, t_pad), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((N_ST, tile_rows, LANES), jnp.float32),
-            pltpu.VMEM((N_REC_MESH, n_slots * tile_rows, LANES),
-                       jnp.float32),
-            pltpu.VMEM((1, len(DIFF_FIELDS) + 1, LANES), jnp.float32),
-            pltpu.VMEM((N_TRI_SC, tile_rows, LANES), jnp.float32),
-        ] + ([pltpu.VMEM(
-            _w_layout(n_spheres, has_metal, has_diel, has_fuzz),
-            jnp.float32)] if fast_acc else []),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(off, cam_tab, sph_tab, w_flat, aabb, boxes, sky_rows,
       g[0], g[1], g[2])
-    return gcam, gsph, gtri, g_sky
+    return outs if emit_state else (outs[0], outs[1], outs[2])
+
+
+def _hdr_consume_laddered(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
+                          n_spheres, cfg, g_img, seed, sample_base,
+                          n_samples, flags, interpret, sky_rows,
+                          levels=None, row_base=None, full_height=None):
+    """Tail-compaction ladder for the HDR consume pass: survivors carry
+    their per-sample sky values in the packed state (rows 5..5+3*spp).
+    Overflow at any level falls back to the plain uncapped consume."""
+    h, w = g_img.shape[0], g_img.shape[1]
+    tile_rows = MESH_TILE_ROWS
+    tile = tile_rows * LANES
+    base_args = (cam_tab, sph_tab, w_flat, aabb, boxes, mesh, n_spheres,
+                 cfg, g_img, seed, sample_base, n_samples, flags,
+                 interpret, sky_rows)
+    base_kw = dict(row_base=row_base, full_height=full_height)
+    full_h = h if full_height is None else full_height
+    if w * full_h > 2 ** 24:     # f32-exact pixel-id guard
+        return _hdr_consume_window(*base_args, **base_kw)
+    n_slots = _mesh_slots(cfg)
+    if levels is None:
+        levels = _default_levels(n_samples, n_slots)
+    n_tr = -(-h // tile_rows)
+    n_tc = -(-w // LANES)
+    hp, wp = n_tr * tile_rows, n_tc * LANES
+    n_padded = hp * wp
+    row0 = (jnp.int32(0) if row_base is None
+            else jnp.asarray(row_base, jnp.int32))
+    spp_f = jnp.float32(n_samples)
+    t_pad = max(1, mesh[0]) * mesh[1]
+
+    gcam = jnp.zeros((1, LANES), jnp.float32)
+    gsph = jnp.zeros((N_FIELDS, LANES), jnp.float32)
+    gtri = jnp.zeros((4, t_pad), jnp.float32)
+    ok = jnp.bool_(True)
+    state = None
+    dom_pix = dom_g = dom_valid = dom_sky = None
+    for cap_rounds, dnm in levels:
+        if state is None:
+            gc, gs, gt, s_out = _hdr_consume_window(
+                *base_args, max_rounds=cap_rounds, emit_state=True,
+                **base_kw)
+            yy = jnp.arange(hp, dtype=jnp.int32)
+            xx = jnp.arange(wp, dtype=jnp.int32)
+            in_img = ((yy[:, None] < h) & (xx[None, :] < w))
+            dom_pix = ((row0 + yy[:, None]) * w + xx[None, :]
+                       ).reshape(-1)
+            gp = jnp.pad(g_img, ((0, hp - h), (0, wp - w), (0, 0)))
+            dom_g = gp.reshape(-1, 3)
+            dom_valid = in_img.reshape(-1)
+            dom_sky = sky_rows.reshape(3 * n_samples, -1)
+            dom_s = s_out.reshape(-1)
+        else:
+            gc, gs, gt, s_out = _hdr_consume_window(
+                *base_args, max_rounds=cap_rounds, emit_state=True,
+                continuation_state=state, **base_kw)
+            dom_s = s_out.reshape(-1)
+        gcam = gcam + gc
+        gsph = gsph + gs
+        gtri = gtri + gt
+        cap_k = max(tile, int(n_padded / dnm) // tile * tile)
+        alive = dom_valid & (dom_s < spp_f)
+        ok = ok & (jnp.sum(alive.astype(jnp.int32)) <= cap_k)
+        idx = jnp.nonzero(alive, size=cap_k, fill_value=-1)[0]
+        valid = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        pix_f = jnp.where(valid, dom_pix[safe], -1).astype(jnp.float32)
+        s0 = jnp.where(valid, dom_s[safe], spp_f)
+        gl = dom_g[safe] * valid[:, None]
+        skyl = dom_sky[:, safe] * valid[None, :]
+        state = jnp.concatenate(
+            [jnp.stack([pix_f, s0, gl[:, 0], gl[:, 1], gl[:, 2]]),
+             skyl]).reshape(5 + 3 * n_samples, cap_k // LANES, LANES)
+        dom_pix = jnp.where(valid, dom_pix[safe], -1)
+        dom_g = gl
+        dom_sky = skyl
+        dom_valid = valid
+    gc, gs, gt = _hdr_consume_window(*base_args,
+                                     continuation_state=state, **base_kw)
+    gcam = gcam + gc
+    gsph = gsph + gs
+    gtri = gtri + gt
+
+    def _fallback(_):
+        return _hdr_consume_window(*base_args, **base_kw)
+
+    return jax.lax.cond(ok, lambda _: (gcam, gsph, gtri), _fallback,
+                        None)
+
+
+def _hdr_emit_laddered(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
+                       n_spheres, cfg, block_rows, w, seed, sample_base,
+                       n_samples, flags, interpret, levels=None,
+                       row_base=None, full_height=None):
+    """Tail-compaction ladder for the HDR emit pass.
+
+    Packed levels return per-lane dsc planes; they are merged back into
+    the full (hp, wp) arrays by pixel id with per-sample window masks —
+    sample s of a lane belongs to the level where s0 <= s < s_end, which
+    is exactly the level whose dsc recorded its (possible) miss.  The
+    non-sky contribution planes merge by addition (a sample's terminal
+    contribution lands in exactly one level).  Overflow at any level
+    falls back to the plain uncapped emit."""
+    tile_rows = MESH_TILE_ROWS
+    tile = tile_rows * LANES
+    base_args = (cam_tab, sph_tab, w_flat, aabb, boxes, mesh, n_spheres,
+                 cfg, block_rows, w, seed, sample_base, n_samples, flags,
+                 interpret)
+    base_kw = dict(row_base=row_base, full_height=full_height)
+    full_h = block_rows if full_height is None else full_height
+    if w * full_h > 2 ** 24:     # f32-exact pixel-id guard
+        return _hdr_emit_window(*base_args, **base_kw)
+    n_slots = _mesh_slots(cfg)
+    if levels is None:
+        levels = _default_levels(n_samples, n_slots)
+    n_tr = -(-block_rows // tile_rows)
+    n_tc = -(-w // LANES)
+    hp, wp = n_tr * tile_rows, n_tc * LANES
+    n_padded = hp * wp
+    row0 = (jnp.int32(0) if row_base is None
+            else jnp.asarray(row_base, jnp.int32))
+    spp_f = jnp.float32(n_samples)
+
+    # ---- level 0: grid-mapped capped emit ----
+    (cap0, dnm0), rest = levels[0], levels[1:]
+    dirs, thrs, emis, s_out = _hdr_emit_window(
+        *base_args, max_rounds=cap0, emit_state=True, **base_kw)
+    dirs_full = dirs.reshape(3 * n_samples, -1)
+    thrs_full = thrs.reshape(3 * n_samples, -1)
+    emis_full = emis.reshape(3, -1)
+    yy = jnp.arange(hp, dtype=jnp.int32)
+    xx = jnp.arange(wp, dtype=jnp.int32)
+    in_img = ((yy[:, None] < block_rows) & (xx[None, :] < w))
+    dom_pix = ((row0 + yy[:, None]) * w + xx[None, :]).reshape(-1)
+    dom_valid = in_img.reshape(-1)
+    dom_s = s_out.reshape(-1)
+    ok = jnp.bool_(True)
+
+    def compact(dom_pix, dom_valid, dom_s, dnm, ok):
+        cap_k = max(tile, int(n_padded / dnm) // tile * tile)
+        alive = dom_valid & (dom_s < spp_f)
+        ok = ok & (jnp.sum(alive.astype(jnp.int32)) <= cap_k)
+        idx = jnp.nonzero(alive, size=cap_k, fill_value=-1)[0]
+        valid = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        pix = jnp.where(valid, dom_pix[safe], -1)
+        s0 = jnp.where(valid, dom_s[safe], spp_f)
+        zg = jnp.zeros_like(s0)
+        state = jnp.stack([pix.astype(jnp.float32), s0, zg, zg, zg]
+                          ).reshape(5, cap_k // LANES, LANES)
+        return state, pix, valid, s0, ok
+
+    def merge(packed, pix, valid, s_lo, s_hi):
+        """Scatter a packed level's dsc planes back by pixel id; sample
+        s of a lane wins where s_lo <= s < s_hi (the samples this level
+        actually processed)."""
+        nonlocal dirs_full, thrs_full, emis_full
+        y = pix // w - row0
+        x = pix % w
+        pos = jnp.where(valid, y * wp + x, n_padded)
+
+        def scat(rowvals):
+            return jnp.zeros((n_padded + 1,), jnp.float32).at[
+                pos].set(rowvals)[:n_padded]
+
+        pk = packed.reshape(6 * n_samples + 3, -1)
+        lo_n = scat(s_lo)
+        hi_n = scat(jnp.where(valid, s_hi, 0.0))
+        for s in range(n_samples):
+            m = (lo_n <= jnp.float32(s)) & (jnp.float32(s) < hi_n)
+            for c in range(3):
+                r = 3 * s + c
+                dirs_full = dirs_full.at[r].set(
+                    jnp.where(m, scat(pk[r]), dirs_full[r]))
+                thrs_full = thrs_full.at[r].set(
+                    jnp.where(m, scat(pk[3 * n_samples + r]),
+                              thrs_full[r]))
+        for c in range(3):
+            emis_full = emis_full.at[c].add(scat(pk[6 * n_samples + c]))
+
+    state, pix_p, valid_p, s0_p, ok = compact(dom_pix, dom_valid, dom_s,
+                                              dnm0, ok)
+    for cap_rounds, dnm in rest:
+        packed, s_out = _hdr_emit_window(
+            *base_args, max_rounds=cap_rounds, emit_state=True,
+            continuation_state=state, **base_kw)
+        dom_s = s_out.reshape(-1)
+        merge(packed, pix_p, valid_p, s0_p, dom_s)
+        state, pix_p, valid_p, s0_p, ok = compact(pix_p, valid_p, dom_s,
+                                                  dnm, ok)
+    (packed,) = _hdr_emit_window(*base_args, continuation_state=state,
+                                 **base_kw)
+    merge(packed, pix_p, valid_p, s0_p,
+          jnp.full_like(s0_p, spp_f))
+    laddered = (dirs_full.reshape(3 * n_samples, hp, wp),
+                thrs_full.reshape(3 * n_samples, hp, wp),
+                emis_full.reshape(3, hp, wp))
+
+    def _fallback(_):
+        return _hdr_emit_window(*base_args, **base_kw)
+
+    return jax.lax.cond(ok, lambda _: laddered, _fallback, None)
 
 
 def supports_grad_hdr(scene: Scene, cfg: RenderConfig) -> bool:
@@ -2127,6 +2832,120 @@ def _add_tri_cots(s_bar, scene, plan, gtri):
     return dataclasses.replace(s_bar, triangles=tri_bar)
 
 
+def render_grad_hdr_fused(scene: Scene, cfg: RenderConfig, loss_fn,
+                          seed, interpret: bool = False):
+    """(loss, image, scene-cotangent) for an HDR-sky scene in ONE fused
+    pipeline — the forward render is free.
+
+    Phase A emits every sample window once (miss directions +
+    throughputs + the non-sky contribution sums); the forward image is
+    reconstructed from them (img = non-sky + sum_s thr_s * sky(dir_s),
+    exactly the megamesh deferred-sky estimator under the "zero" NaN
+    policy).  Phase B computes the loss cotangent from that image.
+    Phase C consumes each window (fill + reverse) with the phase-A sky
+    values resident and scatters the per-texel sky cotangents.  vs
+    render() + render_grad_scene this saves one full path trace of the
+    scene per call (the separate forward render — the round-4 VERDICT's
+    "emit/consume two-pass tax" item)."""
+    from ..tracer.clusters import plan_for_scene
+    from .megamesh import MESH_CHUNK, specialize_mesh_flags
+    assert supports_grad_hdr(scene, cfg), \
+        "scene outside HDR grad-kernel scope"
+    plan = plan_for_scene(scene, MESH_CHUNK)
+    mf = specialize_mesh_flags(scene)
+    return _grad_hdr_fused_jit(scene, cfg, loss_fn, jnp.int32(seed),
+                               mf[:5], mf[5], plan, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "loss_fn", "flags",
+                                             "m_type", "plan",
+                                             "interpret"))
+def _grad_hdr_fused_jit(scene, cfg, loss_fn, seed, flags, m_type, plan,
+                        interpret):
+    from ..scene import sky_colour
+    from .megamesh import _mesh_camera_table, _mesh_tables
+
+    def build(s):
+        return _mesh_camera_table(s), _sphere_table(s)
+
+    (cam_tab, sph_tab), build_vjp = jax.vjp(build, scene)
+    w_flat, aabb, boxes, n_chunks, chunk, bids = _mesh_tables(
+        jax.lax.stop_gradient(scene), plan)
+    mesh = (n_chunks, chunk, bids, max(1, scene.boxes.count), m_type)
+    n_spheres = scene.spheres.count
+    h, w = cfg.height, cfg.width
+    tile_rows = MESH_TILE_ROWS
+    n_tr = -(-h // tile_rows)
+    n_tc = -(-w // LANES)
+    hp, wp = n_tr * tile_rows, n_tc * LANES
+    sky = scene.sky
+    sg = jax.lax.stop_gradient
+    windows = [(s0, min(GRAD_HDR_SPP_CHUNK, cfg.spp - s0))
+               for s0 in range(0, cfg.spp, GRAD_HDR_SPP_CHUNK)]
+    n_slots = _mesh_slots(cfg)
+
+    def emit_fn(spp_c):
+        return (_hdr_emit_laddered
+                if spp_c * cfg.max_depth + 1 > n_slots
+                else _hdr_emit_window)
+
+    def consume_fn(spp_c):
+        return (_hdr_consume_laddered
+                if spp_c * cfg.max_depth + 1 > n_slots
+                else _hdr_consume_window)
+
+    # ---- phase A: emit every window; reconstruct the forward image ----
+    img_sum = jnp.zeros((hp, wp, 3), jnp.float32)
+    stash = []
+    for s_base, spp_c in windows:
+        dirs, thrs, emis = emit_fn(spp_c)(
+            cam_tab, sph_tab, w_flat, aabb, boxes, mesh, n_spheres, cfg,
+            h, w, seed, jnp.int32(s_base), spp_c, flags, interpret)
+        d_v = dirs.reshape(spp_c, 3, hp, wp).transpose(0, 2, 3, 1)
+        thr_v = thrs.reshape(spp_c, 3, hp, wp).transpose(0, 2, 3, 1)
+        sk = sg(sky_colour(sky, d_v))
+        # per-sample miss contribution = clamp(thr * sky) with NaN -> 0
+        # (the estimator's own quirks; clamp is a value no-op under
+        # supports_grad_hdr but applied anyway for exactness)
+        prod = thr_v * sk
+        if cfg.clamp_samples:
+            prod = jnp.clip(prod, 0.0, 1.0)
+        prod = jnp.where(jnp.isnan(prod), 0.0, prod)
+        img_sum = img_sum + emis.transpose(1, 2, 0) + jnp.sum(prod, 0)
+        stash.append((dirs, thrs))
+
+    img = (img_sum * jnp.float32(1.0 / cfg.spp))[:h, :w]
+    loss, g_img = jax.value_and_grad(loss_fn)(img)
+    g_scaled = g_img / jnp.float32(cfg.spp)
+
+    # ---- phase C: consume each window with the stashed sky values ----
+    gcam = jnp.zeros((1, LANES), jnp.float32)
+    gsph = jnp.zeros((N_FIELDS, LANES), jnp.float32)
+    gtri = jnp.zeros((4, max(1, n_chunks) * chunk), jnp.float32)
+    g_sky = jnp.zeros_like(sky.image)
+    for (s_base, spp_c), (dirs, thrs) in zip(windows, stash):
+        d_v = dirs.reshape(spp_c, 3, hp, wp).transpose(0, 2, 3, 1)
+        sk = sg(sky_colour(sky, d_v))
+        sky_rows = sk.transpose(0, 3, 1, 2).reshape(3 * spp_c, hp, wp)
+        g_sky = g_sky + _hdr_sky_cot(sky, cfg, d_v, thrs, sk, g_scaled,
+                                     hp, wp, h, w, spp_c)
+        gc, gs, gt = consume_fn(spp_c)(
+            cam_tab, sph_tab, w_flat, aabb, boxes, mesh, n_spheres, cfg,
+            g_scaled, seed, jnp.int32(s_base), spp_c, flags, interpret,
+            sky_rows)
+        gcam = gcam + gc
+        gsph = gsph + gs
+        gtri = gtri + gt
+    (s_bar,) = build_vjp((gcam, gsph))
+    if scene.triangles.count > 0 and n_chunks > 0:
+        s_bar = _add_tri_cots(s_bar, scene, plan, gtri)
+    import dataclasses
+    s_bar = dataclasses.replace(
+        s_bar, sky=dataclasses.replace(s_bar.sky,
+                                       image=s_bar.sky.image + g_sky))
+    return loss, img, s_bar
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "flags", "m_type",
                                              "plan", "interpret"))
 def _grad_scene_hdr_jit(scene, cfg, g_img, seed, flags, m_type, plan,
@@ -2188,7 +3007,10 @@ def _grad_scene_mesh_jit(scene, cfg, g_img, seed, flags, m_type, plan,
     # (uniform mesh material held fixed, reference semantics).
     w_flat, aabb, boxes, n_chunks, chunk, bids = _mesh_tables(
         jax.lax.stop_gradient(scene), plan)
-    gcam, gsph, gtri = _grad_tables_mesh_inner(
+    mesh_tables = (_grad_tables_mesh_laddered
+                   if _mesh_ladder_applicable(cfg)
+                   else _grad_tables_mesh_inner)
+    gcam, gsph, gtri = mesh_tables(
         cam_tab, sph_tab, w_flat, aabb, boxes,
         (n_chunks, chunk, bids, max(1, scene.boxes.count), m_type),
         scene.spheres.count, scene.sky.kind, cfg,

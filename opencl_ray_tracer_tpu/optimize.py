@@ -155,8 +155,9 @@ def fit_scene(
         # the kernel's NaN policy for sample contributions is the
         # order-invariant "zero" (as render_grad_sampled's chunks)
         gcfg = dcfg.replace(nan_policy="zero")
+        fused = None
         if fit_kind in ("mesh", "hdr"):
-            from .kernels.megagrad import (_grad_scene_hdr_jit,
+            from .kernels.megagrad import (_grad_hdr_fused_jit,
                                            _grad_scene_mesh_jit)
             from .kernels.megamesh import (MESH_CHUNK,
                                            render_pallas_mesh_inner,
@@ -164,8 +165,15 @@ def fit_scene(
             from .tracer.clusters import plan_for_scene
             plan = plan_for_scene(init_scene, MESH_CHUNK)
             mflags = specialize_mesh_flags(init_scene, conservative=True)
-            bwd_jit = (_grad_scene_hdr_jit if fit_kind == "hdr"
-                       else _grad_scene_mesh_jit)
+
+            if fit_kind == "hdr":
+                # fused pipeline: phase-A emit reconstructs the forward
+                # image, so each optimizer step pays ONE path trace less
+                # than a separate fwd render + emit/consume backward
+                def fused(scene, step_seed):
+                    return _grad_hdr_fused_jit(
+                        scene, gcfg, loss_fn, step_seed,
+                        mflags[:5], mflags[5], plan, interp)
 
             def fwd(scene, step_seed):
                 return render_pallas_mesh_inner(
@@ -173,8 +181,9 @@ def fit_scene(
                     gcfg.height, 0)
 
             def bwd(scene, g_img, step_seed):
-                return bwd_jit(scene, gcfg, g_img, step_seed,
-                               mflags[:5], mflags[5], plan, interp)
+                return _grad_scene_mesh_jit(scene, gcfg, g_img, step_seed,
+                                            mflags[:5], mflags[5], plan,
+                                            interp)
         else:
             from .kernels.megagrad import _grad_scene_jit
             from .kernels.megakernel import (render_pallas_inner,
@@ -192,9 +201,12 @@ def fit_scene(
         @jax.jit
         def step_fn(params, opt_state, step_seed):
             scene = insert_params(init_scene, params)
-            img = fwd(scene, step_seed)
-            loss, g_img = jax.value_and_grad(loss_fn)(img)
-            s_bar = bwd(scene, g_img, step_seed)
+            if fused is not None:
+                loss, _img, s_bar = fused(scene, step_seed)
+            else:
+                img = fwd(scene, step_seed)
+                loss, g_img = jax.value_and_grad(loss_fn)(img)
+                s_bar = bwd(scene, g_img, step_seed)
             grads = {p: _get_path(s_bar, p) for p in param_paths}
             if param_mask is not None:
                 grads = {k: g * jnp.asarray(param_mask[k], g.dtype)

@@ -206,7 +206,14 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
         assert supports_grad(scene, cfg), "scene outside megagrad scope"
         flags = specialize_flags(scene)
 
-    use_pallas = jax.default_backend() == "tpu" or pallas_interpret
+    # the forward kernels cap at 128 spheres while the BACKWARD covers
+    # GRAD_MAX_SPHERES=256; beyond-forward-scope scenes render their
+    # image on the jnp path and still get the kernel-rate backward
+    from ..kernels.megakernel import supports as _fwd_supports
+    from ..kernels.megamesh import supports_mesh as _fwd_supports_mesh
+    use_pallas = ((jax.default_backend() == "tpu" or pallas_interpret)
+                  and (_fwd_supports_mesh(scene, cfg)
+                       or _fwd_supports(scene, cfg)))
     img = render_sharded(scene, cfg, mesh, seed, use_pallas=use_pallas,
                          pallas_interpret=pallas_interpret)
     loss, g_img = jax.value_and_grad(loss_fn)(img)
@@ -250,7 +257,12 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
                     gtri = gtri + gt
                     g_sky = g_sky + gk
             else:
-                gcam, gsph, gtri = _grad_tables_mesh_inner(
+                from ..kernels.megagrad import (
+                    _grad_tables_mesh_laddered, _mesh_ladder_applicable)
+                m_tables = (_grad_tables_mesh_laddered
+                            if _mesh_ladder_applicable(cfg)
+                            else _grad_tables_mesh_inner)
+                gcam, gsph, gtri = m_tables(
                     cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
                     n_spheres, sky_kind, cfg, g, jnp.int32(seed),
                     jnp.int32(0), cfg.spp, flags, pallas_interpret,
@@ -414,6 +426,10 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
     else:
         assert supports_grad(template_scene, gcfg), \
             "template scene outside megagrad scope"
+        # the train step's forward runs the megakernel, whose scope caps
+        # at 128 spheres (the backward alone goes to 256)
+        assert template_scene.spheres.count <= 128, \
+            "pallas train step needs forward-kernel scope (<=128 spheres)"
         flags = specialize_flags(template_scene, conservative=True)
 
         @functools.partial(
@@ -473,7 +489,12 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
                 gtri = gtri + gt
                 g_sky = g_sky + gk
         else:
-            gcam, gsph, gtri = _grad_tables_mesh_inner(
+            from ..kernels.megagrad import (
+                _grad_tables_mesh_laddered, _mesh_ladder_applicable)
+            m_tables = (_grad_tables_mesh_laddered
+                        if _mesh_ladder_applicable(gcfg)
+                        else _grad_tables_mesh_inner)
+            gcam, gsph, gtri = m_tables(
                 cam_t, sph_t, w_t, aabb_t, box_t, mesh_static,
                 n_spheres, sky_kind, gcfg, g, jnp.int32(sd),
                 jnp.int32(0), gcfg.spp, flags, interp,

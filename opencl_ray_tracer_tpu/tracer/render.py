@@ -292,13 +292,11 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
     """
     from .wavefront import render_rows_wavefront, render_rows_wavefront_scan
     h, w = cfg.height, cfg.width
-    img = render(scene, cfg, seed=seed)
-    loss, g_img = jax.value_and_grad(
-        lambda im: loss_fn(im))(img)
 
     on_tpu_g = jax.default_backend() == "tpu"
     if grad_backend in ("auto", "pallas"):
-        from ..kernels.megagrad import (render_grad_scene, supports_grad,
+        from ..kernels.megagrad import (render_grad_hdr_fused,
+                                        render_grad_scene, supports_grad,
                                         supports_grad_hdr,
                                         supports_grad_mesh)
         from ..scene.sky import KIND_HDR
@@ -311,15 +309,37 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
         else:
             in_scope = supports_grad(scene, cfg)
         # The mesh/HDR variants carry real triangle VERTEX cotangents
-        # (plane-cotangent accumulation) but hold per-triangle MATERIAL
-        # fields and the sky IMAGE fixed (supports_grad_mesh/_hdr
-        # docstrings), so they only run on explicit
-        # grad_backend="pallas"; "auto" keeps the jnp VJP there, whose
-        # cotangent covers every leaf.
+        # (plane-cotangent accumulation) and, for HDR, real per-texel
+        # sky-image cotangents, but hold per-triangle MATERIAL fields
+        # fixed (supports_grad_mesh/_hdr docstrings), so they only run
+        # on explicit grad_backend="pallas"; "auto" keeps the jnp VJP
+        # there, whose cotangent covers every leaf.
         use_pl_grad = in_scope and (
             grad_backend == "pallas" or (not has_tris and not is_hdr and (
                 on_tpu_g or cfg.backend == "pallas")))
-        if use_pl_grad:
+        if use_pl_grad and is_hdr:
+            # fused pipeline: the emit pass reconstructs the forward
+            # image (deferred-sky estimator), so no separate forward
+            # render runs at all
+            try:
+                loss, img, grads = render_grad_hdr_fused(
+                    scene, cfg, loss_fn, seed, interpret=not on_tpu_g)
+                jax.block_until_ready(grads)
+                return loss, img, grads
+            except Exception as e:
+                if grad_backend == "pallas":
+                    raise
+                import warnings
+                warnings.warn(
+                    "pallas fused HDR grad failed; falling back to the "
+                    f"jnp VJP: {e}")
+
+    img = render(scene, cfg, seed=seed)
+    loss, g_img = jax.value_and_grad(
+        lambda im: loss_fn(im))(img)
+
+    if grad_backend in ("auto", "pallas"):
+        if use_pl_grad and not is_hdr:
             try:
                 grads = render_grad_scene(scene, cfg, g_img, seed,
                                           interpret=not on_tpu_g)

@@ -488,3 +488,165 @@ def test_fit_scene_sky_image_pallas():
     moved = np.abs(np.asarray(fitted.sky.image)
                    - np.asarray(bad.sky.image)).max()
     assert moved > 0.0
+
+
+def test_mesh_grad_ladder_matches_plain():
+    """The mesh tail ladder (capped rounds + packed continuation over
+    the 2-D-tiled mesh dispatch + lax.cond overflow fallback) must
+    reproduce the plain mesh kernel in all three regimes."""
+    from opencl_ray_tracer_tpu.kernels.megagrad import (
+        _grad_tables_mesh_inner, _grad_tables_mesh_laddered)
+    from opencl_ray_tracer_tpu.kernels.megakernel import _sphere_table
+    from opencl_ray_tracer_tpu.kernels.megamesh import (
+        MESH_CHUNK, _mesh_camera_table, _mesh_tables,
+        specialize_mesh_flags)
+    from opencl_ray_tracer_tpu.tracer.clusters import plan_for_scene
+
+    scene = _mesh_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=8, max_depth=4,
+                           nan_policy="zero")
+    plan = plan_for_scene(scene, MESH_CHUNK)
+    mf = specialize_mesh_flags(scene)
+    cam, sph = _mesh_camera_table(scene), _sphere_table(scene)
+    w_flat, aabb, boxes, n_chunks, chunk, bids = _mesh_tables(scene, plan)
+    mesh = (n_chunks, chunk, bids, max(1, scene.boxes.count), mf[5])
+    g = jnp.linspace(0, 1, 16 * 32 * 3).reshape(16, 32, 3
+                                                ).astype(jnp.float32)
+    args = (cam, sph, w_flat, aabb, boxes, mesh, scene.spheres.count,
+            scene.sky.kind, cfg, g, jnp.int32(3), jnp.int32(0), 8,
+            mf[:5], True)
+    gc_p, gs_p, gt_p = _grad_tables_mesh_inner(*args)
+    for levels, tag in ((((99, 2),), "huge cap"),
+                       (((1, 2), (1, 4)), "3-level continuation"),
+                       (((1, 512),), "overflow fallback")):
+        gc, gs, gt = _grad_tables_mesh_laddered(*args, levels=levels)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_p),
+                                   rtol=1e-5, atol=1e-8, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gs_p),
+                                   rtol=1e-5, atol=1e-7, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_p),
+                                   rtol=1e-5, atol=1e-7, err_msg=tag)
+
+
+def test_hdr_fused_pipeline_matches():
+    """render_grad_sampled(grad_backend='pallas') on an HDR scene runs
+    the FUSED pipeline (no separate forward render: the emit pass
+    reconstructs the image).  Image must match the jnp tracer as closely
+    as the megamesh deferred-sky render does, and gradients must match
+    the jnp VJP."""
+    from opencl_ray_tracer_tpu.kernels.megagrad import GRAD_HDR_SPP_CHUNK
+    scene = _mesh_scene(sky=_hdr_sky())
+    spp = GRAD_HDR_SPP_CHUNK + 2
+    cfg = ort.RenderConfig(width=32, height=16, spp=spp, max_depth=4,
+                           nan_policy="zero")
+    l_f, img_f, g_f = render_grad_sampled(scene, cfg, LOSS, seed=0,
+                                          grad_backend="pallas")
+    l_j, img_j, g_j = render_grad_sampled(scene, cfg, LOSS, seed=0,
+                                          grad_backend="jnp")
+    # image: same estimator, different accumulation structure — fp noise
+    # plus a vanishing fraction of discrete-event flips
+    d = np.abs(np.asarray(img_f) - np.asarray(img_j))
+    assert (d > 1e-3).mean() < 0.01, (d > 1e-3).mean()
+    assert abs(float(l_f) - float(l_j)) < 1e-4
+    a = np.asarray(g_f.spheres.albedo)
+    b = np.asarray(g_j.spheres.albedo)
+    assert float(np.abs(b).max()) > 1e-3
+    assert float(np.abs(a - b).max()) / float(np.abs(b).max()) < 5e-3
+    sa = np.asarray(g_f.sky.image)
+    sb = np.asarray(g_j.sky.image)
+    assert float(np.abs(sb).max()) > 1e-6
+    assert float(np.abs(sa - sb).max()) / float(np.abs(sb).max()) < 5e-3
+
+
+def test_hdr_emit_consume_ladders_match_plain():
+    """The HDR emit/consume tail ladders (single-round caps + packed
+    continuations + scatter-back merge) must reproduce the plain
+    uncapped passes: dirs/thrs exactly (selected values are identical),
+    sums to fp tolerance."""
+    from opencl_ray_tracer_tpu.kernels.megagrad import (
+        _hdr_consume_laddered, _hdr_consume_window, _hdr_emit_laddered,
+        _hdr_emit_window)
+    from opencl_ray_tracer_tpu.kernels.megakernel import _sphere_table
+    from opencl_ray_tracer_tpu.kernels.megamesh import (
+        MESH_CHUNK, _mesh_camera_table, _mesh_tables,
+        specialize_mesh_flags)
+    from opencl_ray_tracer_tpu.scene import sky_colour
+    from opencl_ray_tracer_tpu.tracer.clusters import plan_for_scene
+
+    scene = _mesh_scene(sky=_hdr_sky())
+    # bound = 3*32+1 = 97 > 64 slots: the ladder path is live
+    cfg = ort.RenderConfig(width=32, height=16, spp=3, max_depth=32,
+                           nan_policy="zero")
+    plan = plan_for_scene(scene, MESH_CHUNK)
+    mf = specialize_mesh_flags(scene)
+    cam, sph = _mesh_camera_table(scene), _sphere_table(scene)
+    w_flat, aabb, boxes, n_chunks, chunk, bids = _mesh_tables(scene, plan)
+    mesh = (n_chunks, chunk, bids, max(1, scene.boxes.count), mf[5])
+    e_args = (cam, sph, w_flat, aabb, boxes, mesh, scene.spheres.count,
+              cfg, 16, 32, jnp.int32(5), jnp.int32(0), 3, mf[:5], True)
+    d_p, t_p, e_p = _hdr_emit_window(*e_args)
+    d_l, t_l, e_l = _hdr_emit_laddered(*e_args)
+    np.testing.assert_array_equal(np.asarray(d_l), np.asarray(d_p))
+    np.testing.assert_array_equal(np.asarray(t_l), np.asarray(t_p))
+    np.testing.assert_allclose(np.asarray(e_l), np.asarray(e_p),
+                               atol=1e-6)
+
+    hp, wp = d_p.shape[1], d_p.shape[2]
+    d_v = d_p.reshape(3, 3, hp, wp).transpose(0, 2, 3, 1)
+    sky_rows = jax.lax.stop_gradient(
+        sky_colour(scene.sky, d_v).transpose(0, 3, 1, 2)
+        .reshape(9, hp, wp))
+    g = jnp.linspace(0, 1, 16 * 32 * 3).reshape(16, 32, 3
+                                                ).astype(jnp.float32)
+    c_args = (cam, sph, w_flat, aabb, boxes, mesh, scene.spheres.count,
+              cfg, g, jnp.int32(5), jnp.int32(0), 3, mf[:5], True,
+              sky_rows)
+    gc_p, gs_p, gt_p = _hdr_consume_window(*c_args)
+    gc_l, gs_l, gt_l = _hdr_consume_laddered(*c_args)
+    np.testing.assert_allclose(np.asarray(gc_l), np.asarray(gc_p),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gs_l), np.asarray(gs_p),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gt_l), np.asarray(gt_p),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_over_128_sphere_grads():
+    """> 128 spheres (here 132): the fast-acc reverse accumulates into a
+    multi-lane-group table, lifting the old 128-lane cap (VERDICT r4
+    item 5).  Gradients must match the jnp VJP.
+
+    Deliberately tiny (all-Lambertian, 16x8, 1 spp, depth 2): the
+    kernel's per-sphere unrolls make XLA:CPU interpret-mode compiles of
+    big-n variants take tens of minutes (a 136-sphere mixed-material
+    variant measured ~20 min; this shape compiles in a few).  GRAD_MAX
+    coverage at 256 is a trace-size statement, not a new code path —
+    every lane-group beyond the first exercises the same fold/OH code
+    this test covers."""
+    rng = np.random.default_rng(7)
+    n = 132
+    centers = np.stack([rng.uniform(-4, 4, n),
+                        rng.uniform(0.3, 0.8, n),
+                        rng.uniform(-4, 4, n)], axis=1)
+    # the beyond-lane-128 spheres must be VISIBLE for their signal
+    # assertion below: park them right on the camera's look-at axis
+    centers[128:] = [(0.2, 0.0, -1.5), (0.0, 0.3, -1.2),
+                     (0.5, 0.2, -1.8), (-0.3, 0.1, -1.4)]
+    base = ort.reference_scene()
+    sp = base.spheres
+    scene = dc.replace(base, spheres=dc.replace(
+        sp,
+        center=jnp.asarray(centers, jnp.float32),
+        radius=jnp.asarray(rng.uniform(0.2, 0.4, n), jnp.float32),
+        albedo=jnp.asarray(rng.uniform(0.1, 0.9, (n, 3)), jnp.float32),
+        mat_type=jnp.zeros((n,), jnp.int32),
+        fuzz=jnp.zeros((n,), jnp.float32),
+        ior=jnp.ones((n,), jnp.float32)))
+    cfg = ort.RenderConfig(width=16, height=8, spp=1, max_depth=2,
+                           backend="jnp", nan_policy="zero")
+    assert supports_grad(scene, cfg)
+    g, gref = _grad_pair(scene, cfg, seed=29)
+    _assert_close(g, gref, rtol=2e-2)
+    # spheres beyond lane 128 carry real signal
+    a = np.asarray(g.spheres.albedo)
+    assert float(np.abs(a[128:]).max()) > 0.0

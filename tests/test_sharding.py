@@ -497,7 +497,12 @@ def test_sharded_hdr_grad_matches_single_device():
     scale = max(float(np.abs(b).max()), 1e-6)
     assert scale > 1e-4          # live signal
     assert float(np.abs(a - b).max()) / scale < 1e-4
-    assert float(np.abs(np.asarray(g.sky.image)).max()) == 0.0
+    # sky-image cotangents are REAL since round 5; the sharded psum'd
+    # scatter must match the single-device scatter
+    sa = np.asarray(g.sky.image)
+    sb = np.asarray(g_ref.sky.image)
+    assert float(np.abs(sb).max()) > 1e-6
+    assert float(np.abs(sa - sb).max()) / float(np.abs(sb).max()) < 1e-4
 
 
 def test_sharded_pallas_train_step_hdr_template():
