@@ -88,6 +88,16 @@ SUBL = SUB * LANES         # matmul N (lanes per storage row)
 N_SUB = TILE_ROWS // SUB   # storage rows per tile
 ROW_GATED = True           # per-storage-row pl.when gates in the fold
 HDR_SPP_CHUNK = 8          # samples per dispatch in HDR mode (records)
+MESH_SUB_GATES = 4         # sub-AABB fire gates per chunk (0 = off): a
+                           # coarse-gate-passing chunk still skips its
+                           # matmuls for rays that miss every sub-box
+                           # (BVH-ordered 32-tri runs at chunk=128).
+                           # Measured on the F1 flagship (TPU, r5): 0 ->
+                           # 1.720 s, 4 -> 1.717 s, 8 -> 1.733 s — the
+                           # fired rows are GENUINE (some lane really
+                           # enters cluster geometry), so finer gates
+                           # are ~neutral there; kept at 4 for scenes
+                           # with sparser/elongated clusters.
 SPHERE_CHUNK_MIN = 24      # sphere count above which sphere-only scenes
                            # route through this kernel: its 2-D image
                            # tiles + multi-round compaction beat the
@@ -244,7 +254,8 @@ def _make_kernel(n_spheres: int, width: int, height: int,
                  n_boxes: int, mesh_mtype: int,
                  continuation: bool = False, iter_cap: int | None = None,
                  emit_state: bool = False, sphere_spec=None,
-                 sph_chunks=None, count_fires: bool = False):
+                 sph_chunks=None, count_fires: bool = False,
+                 sub_gates: int = 0):
     """Kernel body with all structure baked statically.
 
     spp here is the per-dispatch sample count (HDR chunks the sample loop).
@@ -259,6 +270,11 @@ def _make_kernel(n_spheres: int, width: int, height: int,
     def kernel(off_ref, cam_ref, sph_ref, w_ref, aabb_ref, box_ref,
                sph_box_ref, *io):
         pos = 0
+        if sub_gates:
+            sub_ref = io[0]      # (n_chunks*sub_gates, 6) SMEM AABBs
+            io = io[1:]
+        else:
+            sub_ref = None
         if continuation:
             state_in = io[0]
             pos = 1
@@ -535,6 +551,24 @@ def _make_kernel(n_spheres: int, width: int, height: int,
 
                         @pl.when(s_c > 0)
                         def _chunk(ci=ci, m_c=m_c):
+                            if sub_gates:
+                                # refined FIRE gate: k sub-AABBs per
+                                # chunk (BVH-ordered runs); a ray that
+                                # enters the coarse chunk box but misses
+                                # every sub-box cannot hit a triangle,
+                                # so its lane drops out of the row gate
+                                # before any matmul fires.  Cost: k slab
+                                # tests, paid only for chunks that
+                                # passed the coarse gate.
+                                lim = jnp.minimum(best_t, tri_sc[0])
+                                m_s = None
+                                for kk in range(sub_gates):
+                                    sh_, sl_ = slab(
+                                        sub_ref, ci * sub_gates + kk)
+                                    mk = sh_ & (sl_ < lim)
+                                    m_s = mk if m_s is None else (m_s | mk)
+                                tri_sc[7] = (m_c & m_s).astype(
+                                    jnp.float32)
                             if count_fires:
                                 m_cf = m_c.astype(jnp.float32)
                                 fired = jnp.float32(0.0)
@@ -1052,6 +1086,13 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
     n_tc = -(-cfg.width // LANES)
     hp, wp = n_tr * TILE_ROWS, n_tc * LANES
     w_flat, aabb, boxes, n_chunks, chunk, bids = _mesh_tables(scene, plan)
+    sub_tab = None
+    if n_chunks > 0 and MESH_SUB_GATES:
+        from ..tracer.clusters import permute, subcluster_bounds
+        tr = scene.triangles
+        sub_tab = subcluster_bounds(
+            permute(tr.p0, plan), permute(tr.p1, plan),
+            permute(tr.p2, plan), plan, MESH_SUB_GATES)
     n_boxes = max(1, scene.boxes.count)
     cam_tab = _mesh_camera_table(scene)
     sph_tab = _sphere_table(scene,
@@ -1105,7 +1146,8 @@ def render_pallas_mesh_inner(scene: Scene, cfg: RenderConfig, seed,
                 w_flat, aabb, boxes, n_chunks,
                 chunk, bids, n_boxes, cam_tab, sph_tab, hdr,
                 iter_cap=min(cap, bound), emit_state=not last,
-                state_in=state2, count_fires=count_fires))
+                state_in=state2, count_fires=count_fires,
+                sub_tab=sub_tab))
             if count_fires:
                 # raw per-tile (iterations, fired rows, alive lane-iters,
                 # fired chunks, improving rows, spare) — callers aggregate
@@ -1152,9 +1194,11 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
               s_base, spp_c, n_tr, n_tc, w_flat, aabb, boxes, n_chunks,
               chunk, bids, n_boxes, cam_tab, sph_tab, hdr,
               iter_cap=None, emit_state=False, state_in=None,
-              count_fires=False):
+              count_fires=False, sub_tab=None):
     (has_metal, has_diel, has_emit, has_fuzz, has_aperture, m_type,
      sph_spec, sph_plan) = flags
+    sub_gates = (MESH_SUB_GATES
+                 if sub_tab is not None and n_chunks > 0 else 0)
     sph_chunks = sph_plan[1] if sph_plan is not None else None
     if sph_plan is not None:
         sph_box = _sphere_group_aabbs(
@@ -1172,7 +1216,8 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
         n_chunks=n_chunks, chunk=chunk, chunk_box_ids=bids,
         n_boxes=n_boxes, mesh_mtype=m_type, continuation=continuation,
         iter_cap=iter_cap, emit_state=emit_state, sphere_spec=sph_spec,
-        sph_chunks=sph_chunks, count_fires=count_fires)
+        sph_chunks=sph_chunks, count_fires=count_fires,
+        sub_gates=sub_gates)
 
     in_specs = [
         pl.BlockSpec((1, 4), lambda *_: (0, 0), memory_space=pltpu.SMEM),
@@ -1192,6 +1237,9 @@ def _dispatch(scene, cfg, seed, interpret, flags, rows, row_offset,
                    jnp.int32(row_offset) + jnp.int32(rows)]).reshape(1, 4),
         cam_tab, sph_tab, w_flat, aabb, boxes, sph_box,
     ]
+    if sub_gates:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(sub_tab)
     scratch = [
         pltpu.VMEM((N_STATE, N_SUB, SUBL), jnp.float32),
         pltpu.VMEM((3, N_SUB, SUBL), jnp.float32),

@@ -161,6 +161,31 @@ def permute(x, plan: MeshPlan, fill=0.0):
     return jnp.where(mask, out, fill)
 
 
+def subcluster_bounds(p0, p1, p2, plan: MeshPlan, k: int,
+                      rel_eps: float = 1e-4, abs_eps: float = 1e-5):
+    """Per-chunk SUB-AABBs: k boxes per chunk over consecutive
+    (chunk//k)-triangle runs of the BVH-ordered permutation (runs are
+    spatially coherent by construction).  Used as refined FIRE gates: a
+    chunk whose coarse AABB a ray enters still need not fire its matmul
+    when the ray misses every sub-box.  Conservative for the same reason
+    as cluster_bounds (a triangle lies inside its sub-box).  Empty
+    (all-padding) sub-runs get an inverted box no slab test can hit.
+    Returns (n_chunks*k, 6) [min, max] rows."""
+    assert plan.chunk % k == 0
+    perm = jnp.asarray(plan.perm)
+    valid = (perm >= 0)[:, None]
+    pts = jnp.stack([p0, p1, p2], axis=1)          # (T_pad, 3, 3)
+    big = jnp.float32(3.4e38)
+    lo = jnp.where(valid[:, None], pts, big).min(axis=1)
+    hi = jnp.where(valid[:, None], pts, -big).max(axis=1)
+    sub = plan.chunk // k
+    cmin = lo.reshape(plan.n_chunks * k, sub, 3).min(axis=1)
+    cmax = hi.reshape(plan.n_chunks * k, sub, 3).max(axis=1)
+    ext = jnp.maximum(cmax - cmin, 0.0).max(axis=-1, keepdims=True)
+    pad = ext * rel_eps + abs_eps
+    return jnp.concatenate([cmin - pad, cmax + pad], axis=1)
+
+
 def cluster_bounds(p0, p1, p2, plan: MeshPlan, rel_eps: float = 1e-4,
                    abs_eps: float = 1e-5):
     """Per-chunk AABBs over the *permuted* triangle positions (traced ok).
