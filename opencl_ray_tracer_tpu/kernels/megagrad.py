@@ -163,8 +163,13 @@ N_ST = 20
 N_REC_MESH = N_REC + 5
 (R_NX, R_NY, R_NZ, R_T, R_TID) = range(N_REC, N_REC_MESH)
 # tri_sc scratch planes: 0 best-t, 1:4 winner raw normal, 4:7 o x d cross
-# rows, 7 chunk gate, 8 winner triangle id (plan order, f32 exact int)
-N_TRI_SC = 9
+# rows, 7 chunk gate, 8 winner triangle id (plan order, f32 exact int);
+# the REVERSE reuses 0..5 for plane-cotangent staging and 6..11 for the
+# per-triangle MATERIAL cotangent planes (albedo rgb, fuzz, ior, invior)
+N_TRI_SC = 12
+# gtri rows: 4 plane cotangents (d_nx, d_ny, d_nz, d_c) + 6 material
+# cotangents (d_albedo rgb, d_fuzz, d_ior, d_invior), all in PLAN order
+N_GTRI = 10
 # Mesh-variant tile height: the ring grows by 5 rows and the MXU weight
 # table (~4 MB for the F1 car) must stay resident, so the tile halves
 # again vs the sphere kernel.  2-D image tiles (tile_rows x LANES pixels)
@@ -1223,8 +1228,15 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                     rnz_r = rec[R_NZ, rows, :]
                     t_rec_r = rec[R_T, rows, :]
                     tid_rec = rec[R_TID, rows, :]
-                    mesh_mat = (m_alr, m_alg, m_alb, m_fuzz, m_ior,
-                                m_invior, jnp.float32(mesh_mtype))
+                    # the uniform mesh material enters the reverse as
+                    # PER-LANE broadcast planes and becomes a vjp leaf:
+                    # its per-lane cotangents, accumulated per recorded
+                    # winner id, are the per-triangle MATERIAL gradients
+                    # (exact at the uniform primal, which
+                    # supports_grad_mesh guarantees)
+                    mm = jnp.stack([m_alr + zero, m_alg + zero,
+                                    m_alb + zero, m_fuzz + zero,
+                                    m_ior + zero, m_invior + zero])
                     # plane constant c = n . v0, reconstructed from the
                     # record (n.(o + t d) = n.hitpoint lies on the plane);
                     # it becomes a vjp LEAF below so d(loss)/dc comes back
@@ -1284,37 +1296,45 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                     # the raw normal and plane constant are vjp leaves:
                     # their per-lane cotangents key the per-triangle
                     # plane-cotangent accumulation (vertex gradients)
+                    def mmat_of(m6):
+                        return (m6[0], m6[1], m6[2], m6[3], m6[4],
+                                m6[5], jnp.float32(mesh_mtype))
+
                     if fast_acc:
                         def f(cam_t, W_leaf, ox, oy, oz, dx, dy, dz,
-                              tr, tg, tb, rnx, rny, rnz, cpl):
+                              tr, tg, tb, rnx, rny, rnz, cpl, m6):
                             out = winner_bounce(
                                 cam_t, sph_s, mtypes, ox, oy, oz,
                                 dx, dy, dz, tr, tg, tb, alive,
                                 term_allowed, a0, a1, a2, a3, b0, b1,
                                 win_code=win_rec,
                                 mesh_rec=(rnx, rny, rnz, t_rec_r, cpl),
-                                mesh_mat=mesh_mat, hdr_sky=hdr_sky_rec,
+                                mesh_mat=mmat_of(m6),
+                                hdr_sky=hdr_sky_rec,
                                 w_params=unpack_w(W_leaf))
                             return out[:12]  # drop the bool cont
 
                         _, vjp_fn = jax.vjp(f, cam_s, W, ox, oy, oz,
                                             dx, dy, dz, tr, tg, tb,
-                                            rnx_r, rny_r, rnz_r, c_rec)
+                                            rnx_r, rny_r, rnz_r, c_rec,
+                                            mm)
                     else:
                         def f(cam_t, sph_t, ox, oy, oz, dx, dy, dz,
-                              tr, tg, tb, rnx, rny, rnz, cpl):
+                              tr, tg, tb, rnx, rny, rnz, cpl, m6):
                             out = winner_bounce(
                                 cam_t, sph_t, mtypes, ox, oy, oz,
                                 dx, dy, dz, tr, tg, tb, alive,
                                 term_allowed, a0, a1, a2, a3, b0, b1,
                                 win_code=win_rec,
                                 mesh_rec=(rnx, rny, rnz, t_rec_r, cpl),
-                                mesh_mat=mesh_mat, hdr_sky=hdr_sky_rec)
+                                mesh_mat=mmat_of(m6),
+                                hdr_sky=hdr_sky_rec)
                             return out[:12]  # drop the bool cont
 
                         _, vjp_fn = jax.vjp(f, cam_s, sph_s, ox, oy, oz,
                                             dx, dy, dz, tr, tg, tb,
-                                            rnx_r, rny_r, rnz_r, c_rec)
+                                            rnx_r, rny_r, rnz_r, c_rec,
+                                            mm)
                 else:
                     if fast_acc:
                         def f(cam_t, W_leaf, ox, oy, oz, dx, dy, dz,
@@ -1352,7 +1372,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                         g_r, g_g, g_b)
                 if mesh is not None:
                     (gc_s, gs_w, aox, aoy, aoz, adx, ady, adz,
-                     atr, atg, atb, g_nx, g_ny, g_nz, g_cc) = vjp_fn(cots)
+                     atr, atg, atb, g_nx, g_ny, g_nz, g_cc,
+                     g_mm) = vjp_fn(cots)
                 else:
                     (gc_s, gs_w, aox, aoy, aoz, adx, ady, adz,
                      atr, atg, atb) = vjp_fn(cots)
@@ -1384,6 +1405,8 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                         tri_sc[3] = g_cc
                         tri_sc[4] = tid_rec
                         tri_sc[5] = tri_m.astype(jnp.float32)
+                        for _m in range(6):
+                            tri_sc[6 + _m] = g_mm[_m]
                         for ci_ in range(n_chunks):
                             base = jnp.float32(ci_ * chunk)
                             top = jnp.float32((ci_ + 1) * chunk)
@@ -1412,10 +1435,9 @@ def _make_grad_kernel(n_spheres: int, width: int, height: int,
                                             == (tid_r - base)) & m_r
                                         ).astype(jnp.float32)
                                         arow = jnp.concatenate(
-                                            [wd(tri_sc[0, r1, :]),
-                                             wd(tri_sc[1, r1, :]),
-                                             wd(tri_sc[2, r1, :]),
-                                             wd(tri_sc[3, r1, :])],
+                                            [wd(tri_sc[_r, r1, :])
+                                             for _r in (0, 1, 2, 3, 6, 7,
+                                                        8, 9, 10, 11)],
                                             axis=0)
                                         blk = jax.lax.dot_general(
                                             arow, oh,
@@ -1946,7 +1968,7 @@ def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
         jnp.float32)] if fast_acc else [])
     out_shape = [jax.ShapeDtypeStruct((1, LANES), jnp.float32),
                  jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32),
-                 jax.ShapeDtypeStruct((4, t_pad), jnp.float32)]
+                 jax.ShapeDtypeStruct((N_GTRI, t_pad), jnp.float32)]
 
     if continuation_state is not None:
         n2_rows = continuation_state.shape[1]
@@ -1956,7 +1978,7 @@ def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, t_pad), lambda i: (0, 0),
+            pl.BlockSpec((N_GTRI, t_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
         if emit_state:
@@ -1997,7 +2019,7 @@ def _grad_tables_mesh_inner(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, t_pad), lambda i, j: (0, 0),
+        pl.BlockSpec((N_GTRI, t_pad), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if emit_state:
@@ -2073,7 +2095,7 @@ def _grad_tables_mesh_laddered(cam_tab, sph_tab, w_flat, aabb, boxes,
     t_pad = max(1, mesh[0]) * mesh[1]
     gcam = jnp.zeros((1, LANES), jnp.float32)
     gsph = jnp.zeros((N_FIELDS, LANES), jnp.float32)
-    gtri = jnp.zeros((4, t_pad), jnp.float32)
+    gtri = jnp.zeros((N_GTRI, t_pad), jnp.float32)
     ok = jnp.bool_(True)
     state = None
     dom_pix = dom_g = dom_valid = None
@@ -2401,7 +2423,7 @@ def _hdr_consume_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
         jnp.float32)] if fast_acc else [])
     out_shape = [jax.ShapeDtypeStruct((1, LANES), jnp.float32),
                  jax.ShapeDtypeStruct((N_FIELDS, LANES), jnp.float32),
-                 jax.ShapeDtypeStruct((4, t_pad), jnp.float32)]
+                 jax.ShapeDtypeStruct((N_GTRI, t_pad), jnp.float32)]
 
     if continuation_state is not None:
         n_state = 5 + 3 * n_samples
@@ -2413,7 +2435,7 @@ def _hdr_consume_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N_FIELDS, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, t_pad), lambda i: (0, 0),
+            pl.BlockSpec((N_GTRI, t_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
         if emit_state:
@@ -2472,7 +2494,7 @@ def _hdr_consume_window(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((N_FIELDS, LANES), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, t_pad), lambda i, j: (0, 0),
+        pl.BlockSpec((N_GTRI, t_pad), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if emit_state:
@@ -2524,7 +2546,7 @@ def _hdr_consume_laddered(cam_tab, sph_tab, w_flat, aabb, boxes, mesh,
 
     gcam = jnp.zeros((1, LANES), jnp.float32)
     gsph = jnp.zeros((N_FIELDS, LANES), jnp.float32)
-    gtri = jnp.zeros((4, t_pad), jnp.float32)
+    gtri = jnp.zeros((N_GTRI, t_pad), jnp.float32)
     ok = jnp.bool_(True)
     state = None
     dom_pix = dom_g = dom_valid = dom_sky = None
@@ -2718,9 +2740,12 @@ def supports_grad_mesh(scene: Scene, cfg: RenderConfig) -> bool:
     spheres.  Triangle VERTEX cotangents (p0/p1/p2) are real: interior
     derivatives accumulated per triangle via the plane-cotangent ring
     (_tri_vertex_cots); silhouette gradients stay in tracer/soft.py.
-    Triangle MATERIAL fields (albedo/fuzz/ior per triangle) are held
-    fixed (uniform material is a static constant in-kernel) — callers
-    fitting those must use the jnp path."""
+    Triangle MATERIAL cotangents (albedo/fuzz/ior per triangle) are
+    real since round 5 (per-winner accumulation of the uniform-material
+    plane leaves, _tri_material_cots) — exact at the uniform primal the
+    scope requires, matching the jnp VJP per triangle.  FITTING
+    per-triangle materials still needs the jnp path: one step breaks
+    the uniformity this scope depends on."""
     from .megamesh import _mesh_uniform_material
     return (scene.triangles.count > 0
             and scene.boxes.count >= 1
@@ -2821,14 +2846,43 @@ def _tri_vertex_cots(scene, plan, gtri):
             unperm(dp2, tris.p2))
 
 
+def _tri_material_cots(scene, plan, gtri):
+    """Chain per-triangle material-plane cotangents to the Triangles
+    material leaves.  gtri rows 4:10 hold (d_albedo rgb, d_fuzz, d_ior,
+    d_invior) accumulated per winner id in PLAN order; the kernel reads
+    inv_ior = 1/max(ior, 1e-8) as a separate leaf, so its cotangent
+    chains back with d(1/x)/dx = -1/x^2.  Exact per-triangle gradients
+    at the uniform-material primal (supports_grad_mesh)."""
+    from ..tracer.clusters import permute
+    perm = plan.perm
+    idx = perm[perm >= 0]
+
+    def unperm(dp, ref):
+        return jnp.zeros_like(ref).at[idx].add(dp[perm >= 0])
+
+    tris = scene.triangles
+    d_alb = unperm(gtri[4:7].T, tris.albedo)
+    d_fuzz = unperm(gtri[7], tris.fuzz)
+    ior_p = permute(tris.ior, plan, fill=1.0)
+    safe = jnp.maximum(ior_p, 1e-8)
+    d_ior_plan = gtri[8] - gtri[9] / (safe * safe)
+    d_ior = unperm(d_ior_plan, tris.ior)
+    return d_alb, d_fuzz, d_ior
+
+
 def _add_tri_cots(s_bar, scene, plan, gtri):
-    """Add vertex cotangents into the Scene cotangent pytree."""
+    """Add vertex AND material cotangents into the Scene cotangent
+    pytree."""
     import dataclasses
     dp0, dp1, dp2 = _tri_vertex_cots(scene, plan, gtri)
+    d_alb, d_fuzz, d_ior = _tri_material_cots(scene, plan, gtri)
     tri_bar = s_bar.triangles
     tri_bar = dataclasses.replace(tri_bar, p0=tri_bar.p0 + dp0,
                                   p1=tri_bar.p1 + dp1,
-                                  p2=tri_bar.p2 + dp2)
+                                  p2=tri_bar.p2 + dp2,
+                                  albedo=tri_bar.albedo + d_alb,
+                                  fuzz=tri_bar.fuzz + d_fuzz,
+                                  ior=tri_bar.ior + d_ior)
     return dataclasses.replace(s_bar, triangles=tri_bar)
 
 
@@ -2921,7 +2975,7 @@ def _grad_hdr_fused_jit(scene, cfg, loss_fn, seed, flags, m_type, plan,
     # ---- phase C: consume each window with the stashed sky values ----
     gcam = jnp.zeros((1, LANES), jnp.float32)
     gsph = jnp.zeros((N_FIELDS, LANES), jnp.float32)
-    gtri = jnp.zeros((4, max(1, n_chunks) * chunk), jnp.float32)
+    gtri = jnp.zeros((N_GTRI, max(1, n_chunks) * chunk), jnp.float32)
     g_sky = jnp.zeros_like(sky.image)
     for (s_base, spp_c), (dirs, thrs) in zip(windows, stash):
         d_v = dirs.reshape(spp_c, 3, hp, wp).transpose(0, 2, 3, 1)
@@ -2962,7 +3016,7 @@ def _grad_scene_hdr_jit(scene, cfg, g_img, seed, flags, m_type, plan,
     g_scaled = g_img / jnp.float32(cfg.spp)
     gcam = jnp.zeros((1, LANES), jnp.float32)
     gsph = jnp.zeros((N_FIELDS, LANES), jnp.float32)
-    gtri = jnp.zeros((4, max(1, n_chunks) * chunk), jnp.float32)
+    gtri = jnp.zeros((N_GTRI, max(1, n_chunks) * chunk), jnp.float32)
     g_sky = jnp.zeros_like(scene.sky.image)
     # sample windows bound the per-tile dirs/sky VMEM rows; window sums
     # are exact (the estimator is sample-linear under the "zero" policy)

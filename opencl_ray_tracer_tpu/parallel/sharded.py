@@ -243,7 +243,8 @@ def render_grad_sharded(scene: Scene, cfg: RenderConfig, loss_fn, mesh,
                 sky_obj = Sky.hdr(sky_img)
                 gcam = jnp.zeros((1, 128), jnp.float32)
                 gsph = jnp.zeros_like(sph_t)
-                gtri = jnp.zeros((4, max(1, n_chunks) * chunk),
+                from ..kernels.megagrad import N_GTRI
+                gtri = jnp.zeros((N_GTRI, max(1, n_chunks) * chunk),
                                  jnp.float32)
                 for s_base in range(0, cfg.spp, GRAD_HDR_SPP_CHUNK):
                     spp_c = min(GRAD_HDR_SPP_CHUNK, cfg.spp - s_base)
@@ -476,7 +477,9 @@ def _make_train_step_pallas(cfg, mesh, optimizer, loss_fn, insert_params,
             sky_obj = Sky.hdr(sky_img)
             gcam = jnp.zeros((1, 128), jnp.float32)
             gsph = jnp.zeros_like(sph_t)
-            gtri = jnp.zeros((4, max(1, n_chunks) * chunk), jnp.float32)
+            from ..kernels.megagrad import N_GTRI
+            gtri = jnp.zeros((N_GTRI, max(1, n_chunks) * chunk),
+                             jnp.float32)
             for s_base in range(0, gcfg.spp, GRAD_HDR_SPP_CHUNK):
                 spp_c = min(GRAD_HDR_SPP_CHUNK, gcfg.spp - s_base)
                 gc, gs, gt, gk = _grad_tables_hdr_window(

@@ -308,15 +308,14 @@ def render_grad_sampled(scene: Scene, cfg: RenderConfig, loss_fn,
             in_scope = supports_grad_mesh(scene, cfg)
         else:
             in_scope = supports_grad(scene, cfg)
-        # The mesh/HDR variants carry real triangle VERTEX cotangents
-        # (plane-cotangent accumulation) and, for HDR, real per-texel
-        # sky-image cotangents, but hold per-triangle MATERIAL fields
-        # fixed (supports_grad_mesh/_hdr docstrings), so they only run
-        # on explicit grad_backend="pallas"; "auto" keeps the jnp VJP
-        # there, whose cotangent covers every leaf.
+        # Since round 5 the mesh/HDR variants cover EVERY float leaf
+        # the jnp VJP covers (triangle vertices AND per-triangle
+        # materials via plane/material-cotangent accumulation; per-texel
+        # sky-image cotangents for HDR), so "auto" routes in-scope
+        # scenes through the kernels on TPU as well.
         use_pl_grad = in_scope and (
-            grad_backend == "pallas" or (not has_tris and not is_hdr and (
-                on_tpu_g or cfg.backend == "pallas")))
+            grad_backend == "pallas" or on_tpu_g
+            or cfg.backend == "pallas")
         if use_pl_grad and is_hdr:
             # fused pipeline: the emit pass reconstructs the forward
             # image (deferred-sky estimator), so no separate forward

@@ -234,6 +234,19 @@ def _mesh_grad_pair(scene, cfg, seed):
     return g, gref
 
 
+def _assert_tri_mat_close(g, gref, rtol):
+    """Per-triangle MATERIAL cotangents (real since round 5) vs the jnp
+    VJP; exact at the uniform-material primal supports_grad_mesh
+    requires."""
+    for name in ("albedo", "fuzz", "ior"):
+        a = np.asarray(getattr(g.triangles, name))
+        b = np.asarray(getattr(gref.triangles, name))
+        scale = max(float(np.abs(b).max()), 1e-9)
+        err = float(np.abs(a - b).max()) / scale
+        assert err < rtol, \
+            f"triangles.{name}: relerr {err:.3e} (scale {scale:.2e})"
+
+
 def _assert_tri_close(g, gref, rtol):
     for name in ("p0", "p1", "p2"):
         a = np.asarray(getattr(g.triangles, name))
@@ -326,6 +339,9 @@ def test_mesh_scene_grads_match_jnp():
     # and must match the jnp wavefront VJP's interior derivatives
     assert float(np.abs(np.asarray(g.triangles.p0)).max()) > 0.0
     _assert_tri_close(g, gref, 5e-4)
+    # ... and so are per-triangle MATERIAL cotangents (round 5)
+    assert float(np.abs(np.asarray(gref.triangles.albedo)).max()) > 1e-6
+    _assert_tri_mat_close(g, gref, 5e-4)
 
 
 def test_mesh_scene_metal_const_sky():
