@@ -161,7 +161,16 @@ def _round_schedule(spp_c: int, max_depth: int) -> tuple:
     glass have long paths every sample), wide but quickly-decaying in cap
     (book-cover measured survival at 250 spp/d50: 2.8x spp -> 25%,
     4x -> 8%, 5.6x -> 1.5%, 8x -> 0.4%).  Caps scale ~linearly in spp
-    with ~2-4x capacity margins against that curve."""
+    with ~2-4x capacity margins against that curve.
+
+    Round-5 negative result (README 250spp/d50 swept on TPU): tighter
+    survival-curve-style schedules with float denominators — which won
+    -18%% in the GRAD kernel's ladder — all LOSE here (0.42 s vs 0.248;
+    first-level denominators of 1.5-1.6 overflow because the forward
+    carries live ray state instead of restarting samples, so its
+    survivors decay slower per iteration than the grad fill's); even a
+    6-level variant with the proven first two levels only ties (0.254).
+    The default below is already at the floor."""
     bound = spp_c * max_depth + 1
     if spp_c >= HIGH_SPP_MIN:
         c0 = int(2.8 * spp_c) + 8
@@ -218,11 +227,12 @@ def _compact_state(state_flat, spp_c: int, n2: int):
     return state_flat[:, sel].reshape(N_CONT, n2 // SUBL, SUBL), ok
 
 
-def _round_capacity(p_tot: int, L: int, denom: int) -> int:
+def _round_capacity(p_tot: int, L: int, denom) -> int:
     """Capacity (lane count) of a round: 1/denom of the FULL padded grid
-    (p_tot), tile-rounded, at least one tile, never more than the entering
+    (p_tot; denom may be a float for tight survival-curve tracking),
+    tile-rounded, at least one tile, never more than the entering
     state's lane count L."""
-    return min(L, max(TILE, -(-(p_tot // denom) // TILE) * TILE))
+    return min(L, max(TILE, -(-int(p_tot / denom) // TILE) * TILE))
 
 def _delane(a, n_tr: int, n_tc: int):
     """Kernel lane layout -> image layout.
