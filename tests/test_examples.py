@@ -47,3 +47,9 @@ def test_reference_scene_render_example(tmp_path):
     r = _run("reference_scene_render.py", "--small",
              "-o", str(tmp_path / "ref.png"))
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_fit_sky_image_example():
+    r = _run("fit_sky_image.py", "--cpu", "--steps", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "recovered gain" in r.stdout
