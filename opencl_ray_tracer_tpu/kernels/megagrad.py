@@ -1793,9 +1793,21 @@ def _default_levels(n_samples: int, n_slots: int):
         # low-spp windows (the HDR flagship: 5 spp/d32 per window): the
         # mean lane finishes within a fraction of ONE round while the
         # uncapped while-loop runs to its slowest lane (~3 rounds at
-        # depth 32) — cap at single rounds with steep capacities (the
-        # F1 survival curve decays to a few % within one round)
-        return ((1, 8), (1, 32))
+        # depth 32) — cap at single rounds with capacities derived from
+        # the MEASURED F1 grad-fill survival (TPU, 5 spp/d32, 32-slot
+        # rounds: 10.0 % / 3.55 % / 0.61 % alive after 1/2/3 rounds —
+        # benchmarks/sweep_meshsurv_r05.txt), scaled to the window's
+        # spp, with ~2.2x margins.  Two earlier models tripped the
+        # overflow fallback (~2x cost): a fixed (8, 32) schedule at
+        # 32-slot rings, and a 12-iter-halving fit whose level-1
+        # capacity (3.16 %) sat just under the real 3.55 %.
+        def frac(iters):
+            x = iters * 5.0 / max(n_samples, 1)
+            return max(0.10 * 0.36 ** ((x - 32.0) / 32.0), 5e-4)
+
+        d1 = min(64.0, max(2.0, 1.0 / (2.2 * frac(n_slots))))
+        d2 = min(64.0, max(d1 * 2.0, 1.0 / (2.2 * frac(2 * n_slots))))
+        return ((1, d1), (1, d2))
     sched = (GRAD_LADDER_SCHEDULE if n_samples >= 200
              else GRAD_LADDER_SCHEDULE_MID)
     return tuple((max(2, int(rf * n_samples / n_slots)), d)
@@ -1904,9 +1916,13 @@ def _grad_tables_laddered(cam_tab, sph_tab, n_spheres, sky_kind, cfg,
 # MIN_SLOTS=64 (measured optimal); the mesh variants' ring carries 17
 # rows and shares VMEM with the triangle weight table (and, for HDR
 # consume, the per-sample sky rows) — at 64 slots the flagship consume
-# sits ~0.4 MB past the 16 MB scoped limit.  40 slots free 3.3 MB for
-# ~3% extra abandoned-path recompute waste (E[len]/slots).
-MESH_GRAD_SLOTS = 40
+# sits ~0.4 MB past the 16 MB scoped limit.  Smaller rings also shrink
+# the FORCED idle inside each round: every round runs n_slots fill+
+# reverse iterations while the mean flagship lane needs ~17, so the
+# floor sits AT max_depth (env OCLRT_MESH_GRAD_SLOTS to sweep).
+import os as _os
+
+MESH_GRAD_SLOTS = int(_os.environ.get("OCLRT_MESH_GRAD_SLOTS", "32"))
 
 
 def _mesh_slots(cfg) -> int:

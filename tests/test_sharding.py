@@ -436,6 +436,42 @@ def test_sharded_mesh_grad_matches_single_device():
         assert float(np.abs(a - b).max()) / scale < 1e-4, name
 
 
+def test_sharded_mesh_grad_ladder_under_shard_map():
+    """The mesh tail ladder (round 5) under shard_map: max_depth puts
+    the bound past one ring round, so each shard runs the capped-round +
+    packed-continuation levels (including the nonzero compaction and the
+    lax.cond fallback plumbing) inside the mesh — must still match the
+    single-device laddered kernel."""
+    from opencl_ray_tracer_tpu.kernels.megagrad import (
+        _mesh_ladder_applicable, render_grad_scene)
+
+    scene = _torus_scene()
+    cfg = ort.RenderConfig(width=32, height=16, spp=2, max_depth=24,
+                           backend="jnp", nan_policy="zero")
+    assert _mesh_ladder_applicable(cfg)
+    mesh = par.make_mesh(n_tile=8, n_sample=1)
+    loss_fn = lambda im: jnp.mean(im ** 2)
+
+    loss, img, g = par.render_grad_sharded(scene, cfg, loss_fn, mesh,
+                                           seed=2, pallas_interpret=True)
+    img_ref = ort.render(scene, cfg, seed=2)
+    _, g_img = jax.value_and_grad(loss_fn)(img_ref)
+    g_ref = render_grad_scene(scene, cfg, g_img, seed=2, interpret=True)
+    # depth-24 fuzzy-metal chains are fp-chaotic (module docstring of
+    # test_megagrad), and the sharded ladder accumulates in a different
+    # order — tolerances are an envelope, not fp noise
+    for name in ("center", "albedo"):
+        a = np.asarray(getattr(g.spheres, name))
+        b = np.asarray(getattr(g_ref.spheres, name))
+        scale = max(float(np.abs(b).max()), 1e-6)
+        assert float(np.abs(a - b).max()) / scale < 5e-3, name
+    a = np.asarray(g.triangles.p0)
+    b = np.asarray(g_ref.triangles.p0)
+    assert float(np.abs(b).max()) > 0.0
+    assert float(np.abs(a - b).max()) / max(float(np.abs(b).max()),
+                                            1e-9) < 5e-3
+
+
 def test_sharded_pallas_train_step_mesh_template():
     """make_train_step(grad_backend='pallas') with a triangle template:
     megamesh fwd + mesh backward kernel, vs the jnp autodiff step."""
