@@ -1759,19 +1759,14 @@ def _grad_tables_inner(cam_tab, sph_tab, n_spheres, sky_kind, cfg, g_img,
     return outs if emit_state else (outs[0], outs[1])
 
 
-# Sphere-ladder tuning (swept on TPU, README 250spp/d50; plain 0.655 s):
-# (r0=16, denom=2) -> 0.537 s; denom 4/8 and r0 <= 12 overflow (the
-# survivor tail is FAT: >50% of lanes still live at 640 iters = 2.6x
-# spp) and pay the fallback.  r0 = ceil(FACTOR*spp/n_slots).  A capacity
-# overflow falls back to the plain uncapped kernel via lax.cond (sound
-# under jit).  Ladder exactness: rounds restart the current sample from
-# its camera ray, so a cut sample's partial records contribute exactly
-# zero adjoint and the continuation retraces it in full with identical
-# counter-RNG draws; the "zero" NaN policy makes the gcam/gsph sums
-# order-invariant up to fp addition order.
+# Ladder exactness: rounds restart the current sample from its camera
+# ray, so a cut sample's partial records contribute exactly zero adjoint
+# and the continuation retraces it in full with identical counter-RNG
+# draws; the "zero" NaN policy makes the gcam/gsph sums order-invariant
+# up to fp addition order.  A capacity overflow at any level falls back
+# to the plain uncapped kernel via lax.cond (sound under jit).
 GRAD_LADDER_MIN_SPP = 64
-GRAD_LADDER_R0_FACTOR = 4.1
-GRAD_LADDER_DENOM = 2
+GRAD_LADDER_DENOM = 2      # single-level interface default (tests)
 # Capped-level schedule: (rounds_factor, denom) per level; the round cap
 # of level k is max(2, int(factor * spp / n_slots)) and its survivors
 # compact into n_padded/denom lanes (denom may be a float).  The final
