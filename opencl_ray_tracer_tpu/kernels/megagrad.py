@@ -1780,6 +1780,9 @@ GRAD_LADDER_SCHEDULE = ((2.304, 1.5), (1.024, 2.5), (1.024, 4.5),
                         (1.28, 10), (2.048, 40))
 # The tight schedule's integer floors get unsafe below ~3 rounds/level;
 # mid-spp configs (64..199) use the conservative 2-level ladder instead.
+# Verified on TPU (README scene): at spp=64/128 the 2-level schedule
+# runs 0.176/0.288 s while the scaled tight schedule trips the overflow
+# fallback (0.388/0.590 s) — benchmarks/sweep_midspp_r05.txt.
 GRAD_LADDER_SCHEDULE_MID = ((3.1, 2), (2.6, 8))
 
 
@@ -2911,7 +2914,13 @@ def render_grad_hdr_fused(scene: Scene, cfg: RenderConfig, loss_fn,
     values resident and scatters the per-texel sky cotangents.  vs
     render() + render_grad_scene this saves one full path trace of the
     scene per call (the separate forward render — the round-4 VERDICT's
-    "emit/consume two-pass tax" item)."""
+    "emit/consume two-pass tax" item).
+
+    Memory: phase A stashes each window's miss directions + throughputs
+    in HBM until its phase-C consume (6 f32 planes per sample ≈ 22 MB
+    per sample at 720p — ~5.5 GB at 250 spp; fine on a 16 GB chip, but
+    very high spp x resolution combinations should fall back to
+    render() + render_grad_scene, which holds one window at a time)."""
     from ..tracer.clusters import plan_for_scene
     from .megamesh import MESH_CHUNK, specialize_mesh_flags
     assert supports_grad_hdr(scene, cfg), \
