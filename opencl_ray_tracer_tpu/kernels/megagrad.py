@@ -2069,8 +2069,16 @@ def _mesh_ladder_applicable(cfg) -> bool:
     """The mesh tail ladder pays off whenever a window spans more than
     one ring round (the uncapped while-loop then idles on its slowest
     lane) — which includes LOW-spp deep configs like the flagship's
-    5 spp/d32 (bound 161 > 64 slots), not just high-spp ones."""
+    5 spp/d32 (bound 161 > 32 slots), not just high-spp ones.
+
+    spp 17..63 is EXCLUDED: neither schedule family is calibrated there
+    (the low-spp survival model extrapolates poorly toward its 5-spp
+    anchor and the mid-spp round factors floor to over-tight caps), so
+    those configs would mostly pay the ~2x overflow fallback — they run
+    the plain uncapped kernel instead (the round-4 behavior)."""
     n_slots = _mesh_slots(cfg)
+    if 16 < cfg.spp < GRAD_LADDER_MIN_SPP:
+        return False
     return cfg.spp * cfg.max_depth + 1 > n_slots
 
 
