@@ -74,3 +74,58 @@ def test_plan_cache_and_tracer_fallback():
         return s.triangles.p0
 
     inside(scene)
+
+
+def test_split_axis_pick_tightens_chunk_area():
+    """The SAH-lite axis pick (minimum summed child centroid-AABB surface
+    area, clusters._bvh_order) must produce chunk AABBs whose total
+    surface area is no worse than the old always-longest-axis split —
+    the objective that bought the measured F1 forward win (1.731 ->
+    1.676 s on TPU; benchmarks/sweep_sah_r05.txt)."""
+    from opencl_ray_tracer_tpu.tracer import clusters
+
+    rng = np.random.default_rng(7)
+    # anisotropic two-lobe cloud: longest-axis is a poor split for the
+    # off-axis lobe, so the area objective has something to win
+    t = 2000
+    p0 = rng.normal(0, (3.0, 0.3, 1.0), (t, 3)).astype(np.float32)
+    p0[t // 2:, 1] += 4.0
+    p1 = p0 + rng.normal(0, 0.05, (t, 3)).astype(np.float32)
+    p2 = p0 + rng.normal(0, 0.05, (t, 3)).astype(np.float32)
+    box_id = np.zeros((t,), np.int32)
+
+    def longest_axis_order(idx, cent, leaf):
+        out, stack = [], [idx]
+        while stack:
+            ids = stack.pop()
+            if ids.size <= leaf:
+                out.append(ids)
+                continue
+            c = cent[ids]
+            ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            k = ids.size // 2
+            part = np.argpartition(c[:, ax], k)
+            stack.append(ids[part[k:]])
+            stack.append(ids[part[:k]])
+        return out
+
+    def total_area(plan):
+        pts = np.stack([p0, p1, p2], 1)
+        tlo, thi = pts.min(1), pts.max(1)
+        perm, tot = plan.perm, 0.0
+        for c in range(plan.n_chunks):
+            ids = perm[c * plan.chunk:(c + 1) * plan.chunk]
+            ids = ids[ids >= 0]
+            if ids.size:
+                d = thi[ids].max(0) - tlo[ids].min(0)
+                tot += 2 * (d[0] * d[1] + d[1] * d[2] + d[0] * d[2])
+        return tot
+
+    new = total_area(build_mesh_plan(p0, p1, p2, box_id, chunk=128))
+    orig = clusters._bvh_order
+    clusters._bvh_order = longest_axis_order
+    try:
+        old = total_area(build_mesh_plan(p0, p1, p2, box_id, chunk=128))
+    finally:
+        clusters._bvh_order = orig
+    assert new <= old * (1 + 1e-6), (new, old)
