@@ -52,15 +52,22 @@ class MeshPlan(NamedTuple):
         return np.frombuffer(self.perm_bytes, np.int32)
 
 
-def _bvh_order(idx: np.ndarray, cent: np.ndarray, leaf: int) -> list:
+def _bvh_order(idx: np.ndarray, cent: np.ndarray, leaf: int,
+               tlo: np.ndarray | None = None,
+               thi: np.ndarray | None = None) -> list:
     """Median-split ordering: recursively halve until nodes fit one chunk;
     returns index runs in BVH order.  The split axis is chosen per node by
     trying all three median splits and keeping the one whose two children
-    have the smallest summed centroid-AABB surface area (SAH-lite: equal
-    halves keep chunk padding at zero, the area term minimises the
-    expected ray-entry rate of the resulting chunk gates).  Measured on
-    the F1 car (TPU, round 5): total chunk-AABB area -5.4% vs the old
-    longest-axis split, forward render 1.731 -> 1.676 s (+3.2%)."""
+    have the smallest summed AABB surface area (SAH-lite: equal halves
+    keep chunk padding at zero, the area term minimises the expected
+    ray-entry rate of the resulting chunk gates).  tlo/thi are
+    per-triangle AABB corners; when absent the area is taken over
+    centroids.  Measured on the F1 car (TPU, round 5,
+    benchmarks/sweep_sah_r05.txt): centroid-area pick 1.731 -> 1.676 s
+    vs the old longest-axis split; the triangle-AABB pick (chunk area
+    -6.7% further) 1.694 -> 1.649 s in a second A/B."""
+    lo = cent if tlo is None else tlo
+    hi = cent if thi is None else thi
     out = []
     stack = [idx]
     while stack:
@@ -75,8 +82,7 @@ def _bvh_order(idx: np.ndarray, cent: np.ndarray, leaf: int) -> list:
             part = np.argpartition(c[:, ax], k)
             sa = 0.0
             for side in (ids[part[:k]], ids[part[k:]]):
-                cc = cent[side]
-                d = cc.max(axis=0) - cc.min(axis=0)
+                d = hi[side].max(axis=0) - lo[side].min(axis=0)
                 sa += 2.0 * (d[0] * d[1] + d[1] * d[2] + d[0] * d[2])
             if best is None or sa < best[0]:
                 best = (sa, part)
@@ -99,11 +105,13 @@ def build_mesh_plan(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
     the static-schedule analog of ordered BVH traversal."""
     t = p0.shape[0]
     cent = (p0 + p1 + p2) / 3.0
+    pts = np.stack([p0, p1, p2], axis=1)
+    tlo, thi = pts.min(axis=1), pts.max(axis=1)
     order_parts = []
     chunk_bids = []
     for b in np.unique(box_id):
         ids = np.nonzero(box_id == b)[0].astype(np.int32)
-        runs = _bvh_order(ids, cent, chunk)
+        runs = _bvh_order(ids, cent, chunk, tlo, thi)
         grouped = np.concatenate(runs) if runs else ids
         pad = (-grouped.size) % chunk
         grouped = np.concatenate(

@@ -77,11 +77,11 @@ def test_plan_cache_and_tracer_fallback():
 
 
 def test_split_axis_pick_tightens_chunk_area():
-    """The SAH-lite axis pick (minimum summed child centroid-AABB surface
-    area, clusters._bvh_order) must produce chunk AABBs whose total
-    surface area is no worse than the old always-longest-axis split —
-    the objective that bought the measured F1 forward win (1.731 ->
-    1.676 s on TPU; benchmarks/sweep_sah_r05.txt)."""
+    """The SAH-lite axis pick (minimum summed child AABB surface area,
+    clusters._bvh_order) must produce chunk AABBs whose total surface
+    area is no worse than the old always-longest-axis split — the
+    objective that bought the measured F1 forward win (1.731 -> 1.649 s
+    on TPU across both A/Bs; benchmarks/sweep_sah_r05.txt)."""
     from opencl_ray_tracer_tpu.tracer import clusters
 
     rng = np.random.default_rng(7)
@@ -94,7 +94,7 @@ def test_split_axis_pick_tightens_chunk_area():
     p2 = p0 + rng.normal(0, 0.05, (t, 3)).astype(np.float32)
     box_id = np.zeros((t,), np.int32)
 
-    def longest_axis_order(idx, cent, leaf):
+    def longest_axis_order(idx, cent, leaf, *_aabb):
         out, stack = [], [idx]
         while stack:
             ids = stack.pop()
